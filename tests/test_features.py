@@ -1,0 +1,227 @@
+"""Tests for attention-mask, patch, masking, and matching feature functions."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmt_tpu.features import (
+    make_att_mask_from_length,
+    make_segment_ids,
+    make_segmented_att_mask,
+    extract_patches,
+    normalize_image,
+    make_mpp_label_ids,
+)
+from mmt_tpu.features.masking import MaskingSpec, mask_items
+from mmt_tpu.features.matching import make_matching_features
+
+
+class TestAttMask:
+    def test_segmented_mask(self):
+        ids = np.array([[1, 1, 2, 2, 0]])
+        m = make_segmented_att_mask(ids)
+        expected = np.array(
+            [
+                [1, 1, 0, 0, 0],
+                [1, 1, 0, 0, 0],
+                [0, 0, 1, 1, 0],
+                [0, 0, 1, 1, 0],
+                [0, 0, 0, 0, 1],
+            ]
+        )
+        np.testing.assert_array_equal(m[0], expected)
+
+    def test_mask_from_length_matches_breakpoint_path(self):
+        # Reference: one-hot breakpoint at L-1, reverse cumsum, segmented mask.
+        S, L = 8, 5
+        bp = np.zeros((1, S), np.int32)
+        bp[0, L - 1] = 1
+        rev_cumsum = np.flip(np.cumsum(np.flip(bp, -1), -1), -1)
+        ref = make_segmented_att_mask(rev_cumsum)[0]
+        ours = np.asarray(make_att_mask_from_length(S, L))
+        np.testing.assert_array_equal(ours, ref)
+        # Padding tokens attend among themselves (faithful quirk).
+        assert ours[6, 7] == 1 and ours[6, 2] == 0
+
+    def test_batched_mask(self):
+        m = np.asarray(make_att_mask_from_length(6, np.array([3, 6])))
+        assert m.shape == (2, 6, 6)
+        assert m[0, 0, 2] == 1 and m[0, 0, 3] == 0
+        assert m[1].min() == 1
+
+    def test_segment_ids_quirk(self):
+        # img_wp=3, txt_wp=2 in S=8: first text token (pos 3) gets id 0
+        # (reference uses strict position > img_wp).
+        seg = np.asarray(make_segment_ids(8, 3, 2))
+        np.testing.assert_array_equal(seg, [1, 1, 1, 0, 2, 0, 0, 0])
+
+    def test_segment_ids_batched(self):
+        seg = np.asarray(make_segment_ids(6, np.array([2, 3]), np.array([3, 2])))
+        np.testing.assert_array_equal(seg[0], [1, 1, 0, 2, 2, 0])
+        np.testing.assert_array_equal(seg[1], [1, 1, 1, 0, 2, 0])
+
+
+class TestPatches:
+    def test_extract_patches_raster_order(self):
+        # 4x4 image, patch 2 -> 4 patches; values encode position.
+        im = np.arange(4 * 4 * 3, dtype=np.float32).reshape(4, 4, 3)
+        p = extract_patches(im, 2)
+        assert p.shape == (4, 12)
+        # First patch = rows 0:2, cols 0:2 flattened row-major with channels.
+        expected0 = im[0:2, 0:2, :].reshape(-1)
+        np.testing.assert_array_equal(p[0], expected0)
+        # Patch order: (0,0), (0,1), (1,0), (1,1).
+        expected2 = im[2:4, 0:2, :].reshape(-1)
+        np.testing.assert_array_equal(p[2], expected2)
+
+    def test_extract_patches_batched_jnp(self):
+        im = jnp.ones((2, 224, 224, 3), jnp.float32)
+        p = extract_patches(im, 16)
+        assert p.shape == (2, 196, 768)
+
+    def test_normalize_by_mean_quirk(self):
+        im = np.full((2, 2, 3), 0.5, np.float32)
+        out = normalize_image(im)
+        expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array(
+            [0.485, 0.456, 0.406]
+        )
+        np.testing.assert_allclose(out[0, 0], expected, rtol=1e-6)
+
+    def test_mpp_label_ids(self):
+        # Patch with constant pixel value v in [0,1]: bucket = floor stuff via
+        # boundaries <= v*255; all three channels equal -> label = b*(1+8+64).
+        patch_size = 2
+        v = 100.0 / 255.0  # -> 100; boundaries 32,64,96 <= 100 -> bucket 3
+        patches = np.full((1, patch_size**2 * 3), v, np.float32)
+        labels = make_mpp_label_ids(patches, patch_size)
+        assert labels.shape == (1,)
+        assert labels[0] == 3 * (1 + 8 + 64)
+
+    def test_mpp_label_boundary_semantics(self):
+        # Exactly 32 -> bucket 1 (tf Bucketize lower-inclusive boundary).
+        patch_size = 1
+        v = 32.0 / 255.0
+        patches = np.zeros((1, 3), np.float32)
+        patches[0, 0] = v  # channel 0 only
+        labels = make_mpp_label_ids(patches, patch_size)
+        assert labels[0] == 1  # bucket 1 * 8**0
+
+    def test_mpp_labels_match_reference_tf(self):
+        # Cross-check against the exact TF ops the reference uses.
+        tf = __import__("tensorflow")
+        rng = np.random.default_rng(0)
+        patches = rng.random((7, 768)).astype(np.float32)
+
+        x = tf.constant(patches) * 255.0
+        x = tf.reshape(x, [7, 256, 3])
+        avg = tf.reduce_mean(x, axis=1)
+        bins = list(range(32, 256, 32))
+        disc = tf.raw_ops.Bucketize(input=avg, boundaries=[float(b) for b in bins])
+        disc = tf.cast(disc, tf.int32)
+        base = tf.expand_dims(8 ** tf.range(0, 3), 0)
+        ref = tf.reduce_sum(base * disc, axis=1).numpy()
+
+        ours = make_mpp_label_ids(patches, 16)
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestMasking:
+    def test_masking_deterministic_skeleton(self):
+        rng = np.random.default_rng(42)
+        spec = MaskingSpec(
+            vocab_size=100, mask_token_id=3, selection_rate=0.5, max_selections=4
+        )
+        words = [np.array([10, 11]), np.array([12]), np.array([13, 14, 15]), np.array([16])]
+        res = mask_items(words, spec, rng)
+        # ceil(0.5 * 4) = 2 words selected.
+        sel_words = set()
+        flat = np.concatenate(words)
+        for pos, lab in zip(res.positions, res.label_ids):
+            assert flat[pos] == lab
+        assert len(res.positions) >= 2  # at least 2 wordpieces (>=1 per word)
+        assert res.token_ids.shape == flat.shape
+
+    def test_mask_rate_one_masks_everything(self):
+        rng = np.random.default_rng(0)
+        spec = MaskingSpec(
+            vocab_size=100, mask_token_id=3, selection_rate=1.0,
+            max_selections=100, mask_prob=1.0, random_prob=0.0,
+        )
+        items = [np.array([i]) for i in range(10, 20)]
+        res = mask_items(items, spec, rng)
+        assert np.all(res.token_ids == 3)
+        np.testing.assert_array_equal(np.sort(res.positions), np.arange(10))
+        np.testing.assert_array_equal(res.label_weights, np.ones(10))
+
+    def test_unselectable(self):
+        rng = np.random.default_rng(0)
+        spec = MaskingSpec(
+            vocab_size=100, mask_token_id=3, selection_rate=1.0,
+            max_selections=100, mask_prob=1.0, random_prob=0.0,
+        )
+        items = [np.array([7]), np.array([10]), np.array([8])]
+        res = mask_items(items, spec, rng, selectable=np.array([False, True, False]))
+        assert res.token_ids[0] == 7 and res.token_ids[2] == 8
+        assert res.token_ids[1] == 3
+
+    def test_label_weights_undercount_quirk(self):
+        # With mask_prob=0 (all selections keep/random), weights are all 0 --
+        # faithfully reproducing the reference's literal-[MASK] counting.
+        rng = np.random.default_rng(0)
+        spec = MaskingSpec(
+            vocab_size=100, mask_token_id=3, selection_rate=1.0,
+            max_selections=100, mask_prob=0.0, random_prob=0.0,
+        )
+        items = [np.array([11]), np.array([12])]
+        res = mask_items(items, spec, rng)
+        np.testing.assert_array_equal(res.label_weights, np.zeros(2))
+
+
+class TestMatching:
+    def _features(self, b):
+        return {
+            "patch_token_ids": np.arange(b * 3).reshape(b, 3),
+            "patch_embeddings": np.arange(b * 4).reshape(b, 2, 2).astype(np.float32),
+            "num_image_wordpieces": np.full((b,), 3),
+            "text_token_ids": 100 + np.arange(b * 2).reshape(b, 2),
+            "num_text_wordpieces": np.full((b,), 2),
+        }
+
+    def test_matching_shapes_and_labels(self):
+        b, ratio, min_shift = 8, 1, 2
+        keys = [f"img{i}" for i in range(b)]
+        out = make_matching_features(self._features(b), keys, ratio, min_shift)
+        assert out["patch_token_ids"].shape == (16, 3)
+        np.testing.assert_array_equal(out["itm_label_ids"][:8], np.ones(8))
+        np.testing.assert_array_equal(out["itm_label_ids"][8:], np.zeros(8))
+        # Copy 1 text is rolled by min_shift+1=3.
+        np.testing.assert_array_equal(
+            out["text_token_ids"][8:], np.roll(self._features(b)["text_token_ids"], 3, axis=0)
+        )
+        # Images tile, texts permute -> negative pairs mismatch.
+        np.testing.assert_array_equal(
+            out["patch_embeddings"][8:], self._features(b)["patch_embeddings"]
+        )
+
+    def test_pos_weights(self):
+        b, ratio = 12, 3
+        keys = list(range(b))
+        out = make_matching_features(self._features(b), keys, ratio, 5)
+        np.testing.assert_array_equal(out["itm_pos_weights"][:b], np.full(b, 3.0))
+        np.testing.assert_array_equal(out["itm_pos_weights"][b:], np.ones(b * ratio))
+
+    def test_duplicate_keys_sorted_adjacent(self):
+        b = 8
+        keys = ["a", "b", "a", "c", "b", "d", "e", "f"]
+        feats = self._features(b)
+        out = make_matching_features(feats, keys, 1, 2)
+        # First-occurrence ids: a=0,b=1,a=0,c=2,b=1,... stable argsort puts
+        # duplicates adjacent: order [0,2,1,4,3,5,6,7].
+        np.testing.assert_array_equal(
+            out["text_token_ids"][:b], feats["text_token_ids"][[0, 2, 1, 4, 3, 5, 6, 7]]
+        )
+
+    def test_asserts(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            make_matching_features(self._features(4), list(range(4)), 1, 5)

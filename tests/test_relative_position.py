@@ -1,0 +1,105 @@
+"""Golden tests for relative attention IDs.
+
+The expected matrices are transcribed from the reference's own unit test
+(``/root/reference/src/feature_utils_test.py:49-110``) -- the conformance
+anchor for the 2D relative-ID scheme.
+"""
+
+import numpy as np
+import pytest
+
+from mmt_tpu.features import MmtRelativePositionGenerator, RelativePositionGenerator
+
+
+def test_init_derived_constants():
+    gen = MmtRelativePositionGenerator(
+        num_patch_per_row=2, num_core_layers=1, text_relative_pos_max_distance=3
+    )
+    assert gen.num_patch_per_row == 2
+    assert gen.num_core_layers == 1
+    assert gen.core_layer_diameter == 3
+    assert gen.image_part_id == 19
+    assert gen.text_part_id == 20
+
+
+def test_init_invalid_arguments():
+    with pytest.raises(ValueError):
+        MmtRelativePositionGenerator(0, 1, 2)
+    with pytest.raises(ValueError):
+        MmtRelativePositionGenerator(1, 0, 2)
+    with pytest.raises(ValueError):
+        MmtRelativePositionGenerator(1, 1, -1)
+
+
+def test_make_relative_att_ids_smaller_case():
+    gen = MmtRelativePositionGenerator(
+        num_patch_per_row=2, num_core_layers=1, text_relative_pos_max_distance=3
+    )
+    expected = [[
+        [0, 1, 3, 4, 20, 20, 20],
+        [8, 0, 2, 3, 20, 20, 20],
+        [6, 7, 0, 1, 20, 20, 20],
+        [5, 6, 8, 0, 20, 20, 20],
+        [19, 19, 19, 19, 0, 1, 2],
+        [19, 19, 19, 19, 4, 0, 1],
+        [19, 19, 19, 19, 5, 4, 0],
+    ]]
+    np.testing.assert_array_equal(gen.make_relative_att_ids(7, 1), expected)
+
+
+def test_make_relative_att_ids_larger_case():
+    gen = MmtRelativePositionGenerator(
+        num_patch_per_row=3, num_core_layers=2, text_relative_pos_max_distance=9
+    )
+    expected = [[
+        [0, 1, 2, 5, 6, 7, 10, 11, 12, 37, 37, 37],
+        [24, 0, 1, 4, 5, 6, 9, 10, 11, 37, 37, 37],
+        [23, 24, 0, 3, 4, 5, 8, 9, 10, 37, 37, 37],
+        [20, 21, 22, 0, 1, 2, 5, 6, 7, 37, 37, 37],
+        [19, 20, 21, 24, 0, 1, 4, 5, 6, 37, 37, 37],
+        [18, 19, 20, 23, 24, 0, 3, 4, 5, 37, 37, 37],
+        [15, 16, 17, 20, 21, 22, 0, 1, 2, 37, 37, 37],
+        [14, 15, 16, 19, 20, 21, 24, 0, 1, 37, 37, 37],
+        [13, 14, 15, 18, 19, 20, 23, 24, 0, 37, 37, 37],
+        [36, 36, 36, 36, 36, 36, 36, 36, 36, 0, 1, 2],
+        [36, 36, 36, 36, 36, 36, 36, 36, 36, 10, 0, 1],
+        [36, 36, 36, 36, 36, 36, 36, 36, 36, 11, 10, 0],
+    ]]
+    np.testing.assert_array_equal(gen.make_relative_att_ids(12, 1), expected)
+
+
+def test_1d_generator_vocab_and_symmetry():
+    gen = RelativePositionGenerator(12)
+    assert gen.relative_vocab_size == 25
+    ids = gen.make_relative_att_ids(40, batch_size=2)
+    assert ids.shape == (2, 40, 40)
+    # Diagonal is 0; distance k right -> k; distance k left -> 12 + k; clipped.
+    assert ids[0, 5, 5] == 0
+    assert ids[0, 5, 8] == 3
+    assert ids[0, 8, 5] == 15
+    assert ids[0, 0, 39] == 12
+    assert ids[0, 39, 0] == 24
+
+
+def test_direction_ids_production_geometry():
+    # P=14, r=1 (shipped 2D config): fine window is 3x3, direction ids 9..16.
+    gen = MmtRelativePositionGenerator(14, 1, 12)
+    ids = gen.image_ids()
+    assert ids.shape == (196, 196)
+
+    def rc(i):
+        return divmod(i, 14)
+
+    # Patch (5,5) vs (5,6): one step right -> fine id (0*3+1) mod 9 = 1.
+    assert ids[5 * 14 + 5, 5 * 14 + 6] == 1
+    # One step down: (1*3+0) mod 9 = 3.
+    assert ids[5 * 14 + 5, 6 * 14 + 5] == 3
+    # Far right (dy=0, dx=5) -> direction 'right' = 9 + 2 = 11.
+    assert ids[5 * 14 + 5, 5 * 14 + 10] == 11
+    # Far top (dy=-5, dx=0) -> 'top' = 9.
+    assert ids[5 * 14 + 5, 0 * 14 + 5] == 9
+    # Far bottom-left (dy=5, dx=-5) -> 'bottom_left' = 9 + 5 = 14.
+    assert ids[5 * 14 + 5, 10 * 14 + 0] == 14
+    # image_part/text_part for the shipped config.
+    assert gen.image_part_id == 196 + 8 + 25
+    assert gen.text_part_id == 196 + 8 + 25 + 1
