@@ -1,0 +1,72 @@
+"""Encoder configuration (parity surface: ``src/configs/encoders.py:33-101``)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from mmt_tpu.configs.base import Config
+
+
+@dataclasses.dataclass
+class MmtEncoderConfig(Config):
+    """Mmt encoder hyperparameters.
+
+    Field-for-field parity with the reference ``MmtEncoderConfig``
+    (``src/configs/encoders.py:33-101``), plus TPU-native additions at the
+    bottom (compute dtype, kernel selection, remat) that have no
+    reference counterpart.
+    """
+
+    vocab_size: int = 30522
+    segment_vocab_size: int = 16
+    # None => equal to hidden_size (BERT); smaller (e.g. 128) => ALBERT-style
+    # factorized embeddings.
+    embedding_size: Optional[int] = None
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    # 1D text relative position clipping distance.
+    relative_pos_max_distance: int = 12
+    # Learned relative-bias vocabulary.  IDs >= relative_vocab_size get a
+    # zero bias (one-hot lookup semantics) -- faithful to the reference's
+    # shipped 2D configs where part-padding ids overflow the vocab.
+    relative_vocab_size: int = 32
+    # > 0 => 2D MmtRelativePositionGenerator with this core radius;
+    # 0 => 1D ETC ids over the whole sequence.
+    relative_att_num_core_layers: int = 0
+    max_absolute_position_embeddings: Optional[int] = None
+    intermediate_size: int = 3072
+    hidden_activation: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    initializer_range: float = 0.02
+    use_pre_activation_order: bool = True
+    use_one_hot_lookup: bool = True
+    use_pooler_layer: bool = False
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    # Computation dtype for matmuls/attention ("bfloat16" or "float32").
+    # Parameters are always stored float32.
+    compute_dtype: str = "bfloat16"
+    # Attention implementation: "xla" (einsum + gather) or "pallas"
+    # (fused flash-style TPU kernel with in-kernel relative bias).
+    attention_impl: str = "xla"
+    # Rematerialize each transformer layer (memory for FLOPs trade).
+    remat: bool = False
+    # Block size for the pallas attention kernel.
+    attention_block_q: int = 256
+    attention_block_k: int = 256
+
+
+@dataclasses.dataclass
+class EncoderConfig(Config):
+    """OneOf-style wrapper (parity: ``src/configs/encoders.py:105-109``)."""
+
+    type: str = "mmt"
+    mmt: MmtEncoderConfig = dataclasses.field(default_factory=MmtEncoderConfig)
+
+    def get(self) -> MmtEncoderConfig:
+        if self.type != "mmt":
+            raise ValueError(f"Only 'mmt' encoders are supported, got {self.type!r}.")
+        return self.mmt

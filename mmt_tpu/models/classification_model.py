@@ -1,0 +1,67 @@
+"""Classification model: encoder + classification heads only.
+
+Parity surface: ``src/modeling/models/mmt_classification_model.py`` --
+returns ``sequence_output`` plus ``<head>_logits`` per head.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmt_tpu.configs.model import ClassificationModelConfig
+from mmt_tpu.models.encoder import MmtEncoder
+from mmt_tpu.models.heads import ClassificationHead
+
+
+class MmtClassificationModel(nn.Module):
+    config: ClassificationModelConfig
+    num_patch_per_row: int = 14
+
+    def setup(self):
+        cfg = self.config
+        encoder_cfg = cfg.encoder.get()
+        names = [h.name for h in cfg.cls_heads]
+        if len(set(names)) != len(names):
+            raise ValueError("Classification heads should have unique names.")
+        self.encoder = MmtEncoder(
+            encoder_cfg, num_patch_per_row=self.num_patch_per_row, name="encoder"
+        )
+        self.cls_heads = [
+            ClassificationHead(
+                inner_dim=h.inner_dim,
+                num_classes=h.num_classes,
+                activation=h.activation,
+                dropout_rate=h.dropout_rate,
+                cls_token_idx=h.cls_token_idx,
+                initializer_range=encoder_cfg.initializer_range,
+                dtype=jnp.dtype(encoder_cfg.compute_dtype),
+                name=f"cls_head_{h.name}",
+            )
+            for h in cfg.cls_heads
+        ]
+
+    def __call__(
+        self,
+        word_ids,
+        segment_ids=None,
+        att_mask=None,
+        relative_att_ids=None,
+        patch_embeddings=None,
+        lengths=None,
+        deterministic: bool = True,
+    ):
+        outputs = self.encoder(
+            word_ids=word_ids,
+            segment_ids=segment_ids,
+            att_mask=att_mask,
+            relative_att_ids=relative_att_ids,
+            patch_embeddings=patch_embeddings,
+            lengths=lengths,
+            deterministic=deterministic,
+        )
+        for head_cfg, head in zip(self.config.cls_heads, self.cls_heads):
+            outputs[f"{head_cfg.name}_logits"] = head(
+                outputs["sequence_output"], deterministic=deterministic
+            )
+        return outputs
