@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Flagship benchmark: Fashion-Gen-style 4k-token retrieval inference.
+
+Measures examples/sec/chip for the MMT classification (ITM retrieval)
+model at BERT-base geometry with 2D relative attention at seq_len=4096
+(196 image patch tokens + long text), bfloat16 + fused Pallas attention,
+on the attached TPU chip.
+
+``vs_baseline`` is the speedup over a CPU reference run of the same
+model (dense XLA attention, float32 -- a faithful stand-in for the
+reference's CPU predict.py path, which is the same dense O(S^2)
+BERT-base compute).  The CPU number is measured once in a subprocess and
+cached in ``.bench_cpu_baseline.json``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SEQ_LEN = 4096
+BATCH = 8
+CPU_BATCH = 1
+CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cpu_baseline.json")
+
+
+def build(attention_impl: str, compute_dtype: str, batch: int, seed: int = 0):
+    import jax
+
+    from __graft_entry__ import _flagship_config, _flagship_inputs
+    from mmt_tpu.models import MmtClassificationModel
+
+    cfg = _flagship_config(SEQ_LEN, compute_dtype=compute_dtype,
+                           attention_impl=attention_impl)
+    model = MmtClassificationModel(cfg, num_patch_per_row=14)
+    inputs = _flagship_inputs(batch, SEQ_LEN, seed=seed)
+    params = model.init(jax.random.PRNGKey(0), **inputs)
+
+    @jax.jit
+    def forward(params, word_ids, segment_ids, patch_embeddings, lengths):
+        out = model.apply(
+            params,
+            word_ids=word_ids,
+            segment_ids=segment_ids,
+            patch_embeddings=patch_embeddings,
+            lengths=lengths,
+            deterministic=True,
+        )
+        return jax.nn.softmax(out["itm_logits"], axis=-1)[:, 1]
+
+    args = (params, inputs["word_ids"], inputs["segment_ids"],
+            inputs["patch_embeddings"], inputs["lengths"])
+    return forward, args
+
+
+def measure(forward, args, batch: int, iters: int, warmup: int = 2) -> float:
+    forward(*args)[0].block_until_ready()  # compile
+    for _ in range(warmup):
+        forward(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(*args)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def cpu_baseline() -> float:
+    if os.path.exists(CACHE_FILE):
+        with open(CACHE_FILE) as f:
+            data = json.load(f)
+        if data.get("seq_len") == SEQ_LEN:
+            return data["examples_per_sec"]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import bench, json\n"
+        "fwd, args = bench.build('xla','float32', bench.CPU_BATCH)\n"
+        "eps = bench.measure(fwd, args, bench.CPU_BATCH, iters=2, warmup=0)\n"
+        "print('CPU_RESULT ' + json.dumps(eps))\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
+    )
+    eps = None
+    for line in out.stdout.splitlines():
+        if line.startswith("CPU_RESULT "):
+            eps = float(line.split()[1])
+    if eps is None:
+        sys.stderr.write(out.stdout + out.stderr)
+        raise RuntimeError("CPU baseline measurement failed")
+    with open(CACHE_FILE, "w") as f:
+        json.dump({"seq_len": SEQ_LEN, "examples_per_sec": eps,
+                   "note": "dense-XLA fp32 CPU reference proxy, batch "
+                           f"{CPU_BATCH}"}, f)
+    return eps
+
+
+def main():
+    import jax
+
+    assert jax.default_backend() in ("tpu", "cpu"), jax.default_backend()
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas" if on_tpu else "xla"
+    forward, args = build(impl, "bfloat16", BATCH)
+    eps = measure(forward, args, BATCH, iters=10)
+
+    baseline = cpu_baseline()
+    print(json.dumps({
+        "metric": "fashion_gen_4k_retrieval_inference",
+        "value": round(eps, 3),
+        "unit": "examples/sec",
+        "vs_baseline": round(eps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Training driver.
+
+Parity surface: ``src/train.py`` flags
+(--experiment/--mode/--model_dir/--config_file/--params_override) and its
+control flow: resolve experiment from the registry, apply yaml + string
+overrides, serialize the merged config to model_dir, build the task over
+the device mesh, run the training loop (train / train_and_eval / eval).
+
+Usage:
+  python -m mmt_tpu.cli.train --experiment=mmt/pretraining \
+      --mode=train_and_eval --model_dir=/tmp/model \
+      --config_file=exp.yaml --params_override='trainer.train_steps=100'
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import os
+
+import yaml
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--experiment", required=True,
+                   help="registry name, e.g. mmt/pretraining")
+    p.add_argument("--mode", default="train",
+                   choices=["train", "train_and_eval", "eval"])
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--config_file", action="append", default=[])
+    p.add_argument("--params_override", default="")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_experiment_config(args):
+    from mmt_tpu.configs import get_experiment_config
+    from mmt_tpu.configs.base import from_yaml_file, parse_params_override
+
+    cfg = get_experiment_config(args.experiment)
+    for path in args.config_file:
+        cfg = from_yaml_file(cfg, path, strict=True)
+    if args.params_override:
+        cfg = parse_params_override(cfg, args.params_override, strict=True)
+    return cfg
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+    cfg = build_experiment_config(args)
+
+    import jax
+
+    from mmt_tpu.configs.base import to_dict
+    from mmt_tpu.configs.experiments import (
+        ClassificationTaskConfig,
+        PretrainingTaskConfig,
+    )
+    from mmt_tpu.data.loaders import (
+        MmtClassificationLoader,
+        MmtPretrainLoader,
+    )
+    from mmt_tpu.data.dummy import dummy_pretrain_batches
+    from mmt_tpu.parallel import create_mesh, shard_batch
+    from mmt_tpu.train.checkpoint import CheckpointManager
+    from mmt_tpu.train.loop import run_training
+    from mmt_tpu.train.optimizer import create_optimizer
+    from mmt_tpu.train.tasks import ClassificationTask, PretrainingTask
+    from mmt_tpu.train.train_state import TrainState
+
+    os.makedirs(args.model_dir, exist_ok=True)
+    if args.mode in ("train", "train_and_eval"):
+        with open(os.path.join(args.model_dir, "params.yaml"), "w") as f:
+            yaml.safe_dump(to_dict(cfg), f)
+
+    mesh = create_mesh(
+        num_data=cfg.runtime.num_data_parallel, num_model=cfg.runtime.num_model_parallel
+    )
+    logging.info("mesh: %s over %d devices", mesh.axis_names, mesh.devices.size)
+
+    is_pretraining = isinstance(cfg.task, PretrainingTaskConfig)
+    data_cfg = cfg.task.train_data
+    if is_pretraining:
+        task = PretrainingTask(cfg.task, cfg.trainer)
+        if data_cfg.input_path == "dummy":
+            batches = dummy_pretrain_batches(data_cfg)
+        else:
+            batches = MmtPretrainLoader(data_cfg).load()
+        train_step = task.make_train_step(
+            mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size
+        )
+    else:
+        assert isinstance(cfg.task, ClassificationTaskConfig)
+        task = ClassificationTask(cfg.task, cfg.trainer)
+        batches = MmtClassificationLoader(data_cfg).load()
+        train_step = task.make_train_step(mesh=mesh)
+
+    train_iter = iter(batches)
+    first = next(train_iter)
+
+    import itertools
+
+    train_iter = itertools.chain([first], train_iter)
+
+    rng = jax.random.PRNGKey(args.seed)
+    params = task.init(rng, jax.tree.map(lambda x: x, first))
+    if cfg.task.init_checkpoint:
+        mgr = CheckpointManager(cfg.task.init_checkpoint)
+        restored = mgr.restore(template={"params": params["params"]})
+        params = {"params": restored["params"]}
+        logging.info("warm-started from %s", cfg.task.init_checkpoint)
+
+    tx = create_optimizer(cfg.trainer.optimizer_config, cfg.trainer.train_steps)
+    state = TrainState.create(params, tx)
+
+    run_training(
+        train_step=train_step,
+        state=state,
+        train_iter=train_iter,
+        trainer=cfg.trainer,
+        model_dir=args.model_dir,
+        rng=rng,
+        place_batch=functools.partial(shard_batch, mesh),
+    )
+    logging.info("training complete")
+
+
+if __name__ == "__main__":
+    main()

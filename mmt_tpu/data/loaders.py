@@ -1,0 +1,411 @@
+"""Task dataloaders: pretrain / classification / retrieval.
+
+Parity surfaces: ``src/data/pretrain_dataloader.py``,
+``src/data/classification_dataloader.py``,
+``src/data/retrieval_dataloader.py`` -- re-expressed as host-side numpy
+pipelines (glob -> shard -> shuffle -> decode -> filter -> mask ->
+match -> batch) feeding jnp-ready dicts.
+
+TPU-native differences:
+* no [S, S] side inputs: batches carry ``lengths`` (+ host-cheap
+  ``segment_ids``); the model derives masks/ids on device.
+* retrieval's ``drop_remainder=False`` final partial batch is padded to
+  the static batch size with a ``valid`` mask (host filters on it),
+  keeping every XLA shape static.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import itertools
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from mmt_tpu.configs.data import (
+    MmtClassificationDataConfig,
+    MmtDataConfig,
+    MmtPretrainDataConfig,
+    MmtRetrievalDataConfig,
+)
+from mmt_tpu.data.assembly import AssembledExample, ExampleAssembler
+from mmt_tpu.data.tfrecord import TFRecordReader, parse_example
+from mmt_tpu.features.masking import MaskingSpec, mask_items, pad_1d
+from mmt_tpu.features.matching import make_matching_features
+from mmt_tpu.features.patches import make_mpp_label_ids
+from mmt_tpu.text.wordpiece import BertTokenizer
+
+
+def _glob_shard(
+    patterns: str | List[str], shard_index: int, num_shards: int, rng=None
+) -> List[str]:
+    if isinstance(patterns, str):
+        patterns = [p for p in patterns.split(",") if p]
+    files: List[str] = []
+    for p in patterns:
+        matched = sorted(globlib.glob(p))
+        if not matched:
+            raise ValueError(f"{p} does not match any files.")
+        files.extend(matched)
+    if rng is not None:
+        rng.shuffle(files)
+    return files[shard_index::num_shards]
+
+
+def _segment_ids(max_seq_len: int, img_wp: int, txt_wp: int) -> np.ndarray:
+    """Host copy of features.attention_mask.make_segment_ids (incl. quirk)."""
+    pos = np.arange(max_seq_len)
+    seg = np.where(pos < img_wp, 1, 0)
+    seg += np.where((pos > img_wp) & (pos < img_wp + txt_wp), 2, 0)
+    return seg.astype(np.int32)
+
+
+class _BaseLoader:
+    def __init__(self, config: MmtDataConfig, tokenizer: Optional[BertTokenizer] = None):
+        self.config = config
+        if tokenizer is None:
+            if not config.vocab_filename:
+                raise ValueError("vocab_filename required (or pass a tokenizer)")
+            tokenizer = BertTokenizer(config.vocab_filename)
+        self.tokenizer = tokenizer
+        self.assembler = ExampleAssembler(config, tokenizer)
+
+    def _record_iter(self, patterns, shard_index, num_shards, rng, repeat):
+        while True:
+            files = _glob_shard(patterns, shard_index, num_shards, rng)
+            for path in files:
+                yield from TFRecordReader(path)
+            if not repeat:
+                return
+
+    def _decode(self, payload: bytes, rng, is_training: bool) -> AssembledExample:
+        cfg = self.config
+        raw = parse_example(payload)
+        extras = {}
+        for key in ("index", "image_index", "text_index", "gt_image_index"):
+            if key in raw:
+                extras[key] = int(raw[key][0])
+        if cfg.image_key_field in raw:
+            v = raw[cfg.image_key_field][0]
+            extras["image_key"] = v if isinstance(v, (int, float)) else bytes(v)
+
+        image_bytes = None
+        if cfg.image_data_field in raw and raw[cfg.image_data_field]:
+            image_bytes = bytes(raw[cfg.image_data_field][0])
+
+        text_fields = {}
+        for field in self.assembler.field_to_special:
+            if field in raw and raw[field]:
+                v = raw[field][0]
+                text_fields[field] = v.decode("utf-8", "replace") if isinstance(
+                    v, (bytes, bytearray)
+                ) else str(v)
+
+        flip = bool(is_training and rng.random() > 0.5)
+        return self.assembler.assemble(
+            image_bytes, text_fields or None, flip=flip, extras=extras
+        )
+
+
+class MmtPretrainLoader(_BaseLoader):
+    """MLM + MPP (+ITM) pretraining batches.
+
+    Pipeline parity: ``src/data/pretrain_dataloader.py:74-224``.
+    """
+
+    def __init__(self, config: MmtPretrainDataConfig, tokenizer=None):
+        super().__init__(config, tokenizer)
+        vocab = self.tokenizer.vocab
+        self.cfg = config
+        mask_token = (
+            vocab["[PATCH_MASK]"] if config.use_patch_mask_token_id else vocab["[MASK]"]
+        )
+        self.mpp_spec = MaskingSpec(
+            vocab_size=len(vocab),
+            mask_token_id=mask_token,
+            selection_rate=config.mpp_fraction_to_mask,
+            max_selections=config.mpp_max_selections_per_seq,
+        )
+        self.mlm_spec = MaskingSpec(
+            vocab_size=len(vocab),
+            mask_token_id=vocab["[MASK]"],
+            selection_rate=config.mlm_fraction_to_mask,
+            max_selections=min(config.mlm_max_selections_per_seq, config.max_seq_len),
+        )
+
+    def _mask_example(self, ex: AssembledExample, rng) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        n = cfg.num_patches
+
+        # MPP over [CLS] [PATCH] p1..pN (only patches selectable).
+        patch_items = [np.array([t], np.int32) for t in ex.patch_token_ids]
+        selectable = np.zeros((len(patch_items),), bool)
+        selectable[2:] = True
+        mpp = mask_items(patch_items, self.mpp_spec, rng, selectable)
+
+        patch_embeddings = ex.patch_embeddings.copy()
+        if len(mpp.positions):
+            shifted = mpp.positions - 2
+            mpp_label_ids = make_mpp_label_ids(
+                ex.unnormalized_patch_embeddings[shifted],
+                cfg.patch_size,
+                cfg.input_channels,
+                cfg.max_pixel_val,
+                cfg.output_channel_bits,
+            )
+        else:
+            mpp_label_ids = np.zeros((0,), np.int32)
+        # Zero embeddings of patches whose token became the mask token.
+        masked_slots = mpp.token_ids[2:] == self.mpp_spec.mask_token_id
+        patch_embeddings[masked_slots] = 0.0
+
+        # MLM whole-word over text.
+        mlm = mask_items(ex.text_token_words, self.mlm_spec, rng, ex.text_selectable)
+        mlm_positions = mlm.positions + 2 + n
+
+        m = cfg.mpp_max_selections_per_seq
+        l = min(cfg.mlm_max_selections_per_seq, cfg.max_seq_len)
+        text_ids = pad_1d(mlm.token_ids, self.assembler.max_remaining_seq_len)
+        return {
+            "patch_token_ids": mpp.token_ids,
+            "patch_embeddings": patch_embeddings,
+            "num_image_wordpieces": np.int32(ex.num_image_wordpieces),
+            "text_token_ids": text_ids,
+            "num_text_wordpieces": np.int32(ex.num_text_wordpieces),
+            "mpp_positions": pad_1d(mpp.positions, m),
+            "mpp_label_ids": pad_1d(mpp_label_ids, m),
+            "mpp_label_weights": pad_1d(mpp.label_weights, m),
+            "mlm_positions": pad_1d(mlm_positions, l),
+            "mlm_label_ids": pad_1d(mlm.label_ids, l),
+            "mlm_label_weights": pad_1d(mlm.label_weights, l),
+        }
+
+    def load(
+        self, shard_index: int = 0, num_shards: int = 1, batch_size: Optional[int] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        batch_size = batch_size or cfg.global_batch_size
+        rng = np.random.default_rng(cfg.seed + shard_index)
+        do_itm = "itm" in (cfg.tasks or "")
+
+        records = self._record_iter(
+            cfg.input_path, shard_index, num_shards, rng, repeat=cfg.is_training
+        )
+        examples = []
+        keys = []
+        for payload in records:
+            ex = self._decode(payload, rng, cfg.is_training)
+            # Short-text filter (src/data/pretrain_dataloader.py:152-163).
+            if ex.num_text_wordpieces < self.cfg.min_text_wordpieces:
+                continue
+            examples.append(self._mask_example(ex, rng))
+            keys.append(ex.extras.get("image_key", len(keys)))
+            matching_bsz = batch_size if do_itm else batch_size
+            if do_itm:
+                # ITM doubles the batch (ratio 1); collect half.
+                matching_bsz = batch_size // 2
+            if len(examples) == matching_bsz:
+                yield self._finalize_batch(examples, keys, do_itm)
+                examples, keys = [], []
+
+    def _finalize_batch(self, examples, keys, do_itm) -> Dict[str, np.ndarray]:
+        batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+        if do_itm:
+            batch = make_matching_features(
+                batch, keys, negative_positive_ratio=1, min_shift=self.config.min_shift
+            )
+        return self._to_model_batch(batch)
+
+    def _to_model_batch(self, batch) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        s = cfg.max_seq_len
+        b = batch["patch_token_ids"].shape[0]
+        word_ids = np.zeros((b, s), np.int32)
+        joint = np.concatenate(
+            [batch.pop("patch_token_ids"), batch.pop("text_token_ids")], axis=1
+        )[:, :s]
+        word_ids[:, : joint.shape[1]] = joint
+        img_wp = batch.pop("num_image_wordpieces")
+        txt_wp = batch.pop("num_text_wordpieces")
+        batch["word_ids"] = word_ids
+        batch["segment_ids"] = np.stack(
+            [_segment_ids(s, int(i), int(t)) for i, t in zip(img_wp, txt_wp)]
+        )
+        batch["lengths"] = (img_wp + txt_wp).astype(np.int32)
+        return batch
+
+
+class MmtClassificationLoader(_BaseLoader):
+    """ITM classification batches (parity: classification_dataloader.py)."""
+
+    def __init__(self, config: MmtClassificationDataConfig, tokenizer=None):
+        super().__init__(config, tokenizer)
+        self.cfg = config
+
+    def load(
+        self, shard_index: int = 0, num_shards: int = 1, batch_size: Optional[int] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        batch_size = batch_size or cfg.global_batch_size
+        ratio = cfg.negative_positive_ratio
+        collect = max(1, batch_size // (ratio + 1))
+        rng = np.random.default_rng(cfg.seed + shard_index)
+        records = self._record_iter(
+            cfg.input_path, shard_index, num_shards, rng, repeat=cfg.is_training
+        )
+        examples, keys = [], []
+        for payload in records:
+            ex = self._decode(payload, rng, cfg.is_training)
+            examples.append(self._features(ex))
+            keys.append(ex.extras.get("image_key", len(keys)))
+            if len(examples) == collect:
+                yield self._finalize(examples, keys)
+                examples, keys = [], []
+
+    def _features(self, ex: AssembledExample) -> Dict[str, np.ndarray]:
+        text_ids = pad_1d(
+            self.assembler.flat_text_ids(ex.text_token_words),
+            self.assembler.max_remaining_seq_len,
+        )
+        return {
+            "patch_token_ids": ex.patch_token_ids,
+            "patch_embeddings": ex.patch_embeddings,
+            "num_image_wordpieces": np.int32(ex.num_image_wordpieces),
+            "text_token_ids": text_ids,
+            "num_text_wordpieces": np.int32(ex.num_text_wordpieces),
+        }
+
+    def _finalize(self, examples, keys) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+        batch = make_matching_features(
+            batch,
+            keys,
+            negative_positive_ratio=cfg.negative_positive_ratio,
+            min_shift=cfg.min_shift,
+        )
+        s = cfg.max_seq_len
+        b = batch["patch_token_ids"].shape[0]
+        word_ids = np.zeros((b, s), np.int32)
+        joint = np.concatenate(
+            [batch.pop("patch_token_ids"), batch.pop("text_token_ids")], axis=1
+        )[:, :s]
+        word_ids[:, : joint.shape[1]] = joint
+        img_wp = batch.pop("num_image_wordpieces")
+        txt_wp = batch.pop("num_text_wordpieces")
+        out = {
+            "word_ids": word_ids,
+            "segment_ids": np.stack(
+                [_segment_ids(s, int(i), int(t)) for i, t in zip(img_wp, txt_wp)]
+            ),
+            "lengths": (img_wp + txt_wp).astype(np.int32),
+            "patch_embeddings": batch["patch_embeddings"],
+            "label_ids": batch["itm_label_ids"],
+            "label_weights": batch["itm_label_weights"],
+            "pos_weights": np.where(
+                batch["itm_label_ids"] > 0, self.cfg.pos_weight, 1.0
+            ).astype(np.float32),
+        }
+        return out
+
+
+class MmtRetrievalLoader(_BaseLoader):
+    """Retrieval scoring batches (parity: retrieval_dataloader.py).
+
+    Either paired image+text records, or the on-the-fly cross product of
+    separate image and text record files.  Emits static-shaped batches
+    with a ``valid`` mask covering the final partial batch.
+    """
+
+    def __init__(self, config: MmtRetrievalDataConfig, tokenizer=None):
+        super().__init__(config, tokenizer)
+        self.cfg = config
+
+    def _example_iter(self, shard_index, num_shards, rng):
+        cfg = self.cfg
+        if cfg.input_path:
+            for payload in self._record_iter(
+                cfg.input_path, 0, 1, None, repeat=False
+            ):
+                yield self._decode(payload, rng, False)
+            return
+        # Cross product: image-major outer loop (parity with the reference's
+        # nested interleave, retrieval_dataloader.py:139-195).
+        image_files = _glob_shard(cfg.image_input_path, 0, 1)
+        text_files = _glob_shard(cfg.text_input_path, 0, 1)
+        texts = []
+        for tf_path in text_files:
+            for payload in TFRecordReader(tf_path):
+                texts.append(self._decode(payload, rng, False))
+        for img_path in image_files:
+            for payload in TFRecordReader(img_path):
+                img = self._decode(payload, rng, False)
+                for txt in texts:
+                    yield AssembledExample(
+                        patch_token_ids=img.patch_token_ids,
+                        text_token_words=txt.text_token_words,
+                        patch_embeddings=img.patch_embeddings,
+                        unnormalized_patch_embeddings=None,
+                        num_image_wordpieces=img.num_image_wordpieces,
+                        num_text_wordpieces=txt.num_text_wordpieces,
+                        text_selectable=txt.text_selectable,
+                        extras={**txt.extras, **img.extras},
+                    )
+
+    def load(
+        self, shard_index: int = 0, num_shards: int = 1, batch_size: Optional[int] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        batch_size = batch_size or cfg.global_batch_size
+        rng = np.random.default_rng(cfg.seed)
+        # Shard AFTER enumeration (retrieval_dataloader.py:204-207).
+        it = itertools.islice(
+            self._example_iter(shard_index, num_shards, rng), shard_index, None, num_shards
+        )
+        batch: List[AssembledExample] = []
+        for ex in it:
+            batch.append(ex)
+            if len(batch) == batch_size:
+                yield self._finalize(batch, batch_size)
+                batch = []
+        if batch and not cfg.drop_remainder:
+            yield self._finalize(batch, batch_size)
+
+    def _finalize(self, examples, batch_size) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        s = cfg.max_seq_len
+        b = len(examples)
+        word_ids = np.zeros((batch_size, s), np.int32)
+        seg = np.zeros((batch_size, s), np.int32)
+        lengths = np.zeros((batch_size,), np.int32)
+        patches = np.zeros(
+            (batch_size,) + examples[0].patch_embeddings.shape, np.float32
+        )
+        image_index = np.full((batch_size,), -1, np.int64)
+        text_index = np.full((batch_size,), -1, np.int64)
+        gt_image_index = np.full((batch_size,), -1, np.int64)
+        for i, ex in enumerate(examples):
+            text_ids = self.assembler.flat_text_ids(ex.text_token_words)
+            word_ids[i] = self.assembler.finalize_word_ids(ex.patch_token_ids, text_ids)
+            seg[i] = _segment_ids(s, ex.num_image_wordpieces, ex.num_text_wordpieces)
+            lengths[i] = ex.num_image_wordpieces + ex.num_text_wordpieces
+            patches[i] = ex.patch_embeddings
+            image_index[i] = ex.extras.get("image_index", -1)
+            text_index[i] = ex.extras.get("text_index", -1)
+            gt_image_index[i] = ex.extras.get("gt_image_index", -1)
+
+        label = (image_index == gt_image_index).astype(np.int32)
+        weights = 1.0 + label.astype(np.float32) * (cfg.pos_weight - 1)
+        valid = (np.arange(batch_size) < b).astype(np.int32)
+        return {
+            "word_ids": word_ids,
+            "segment_ids": seg,
+            "lengths": np.maximum(lengths, 1),
+            "patch_embeddings": patches,
+            "label_ids": label,
+            "label_weights": weights * valid,
+            "image_index": image_index,
+            "text_index": text_index,
+            "gt_image_index": gt_image_index,
+            "valid": valid,
+        }

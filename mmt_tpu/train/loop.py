@@ -1,0 +1,129 @@
+"""Training controller: the loop the reference delegated to TFM/Orbit.
+
+Re-provides ``official.core.train_lib.run_experiment`` capability
+(invoked at reference ``src/train.py:79-84``): steps_per_loop batched
+host logging, periodic checkpointing with resume, eval interleave,
+summary writing, and best-checkpoint export -- driven by
+``TrainerConfig`` fields that mirror the reference yamls.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from mmt_tpu.configs.experiments import TrainerConfig
+from mmt_tpu.train.checkpoint import BestCheckpointExporter, CheckpointManager
+from mmt_tpu.train.train_state import TrainState
+
+logger = logging.getLogger("mmt_tpu")
+
+
+def _finalize_metrics(metric_sums: Dict) -> Dict[str, float]:
+    out = {}
+    for name, (total, count) in metric_sums.items():
+        total, count = float(total), float(count)
+        out[name] = total / count if count else 0.0
+    return out
+
+
+class SummaryWriter:
+    """Minimal scalar summary log (jsonl; tensorboard-free observability)."""
+
+    def __init__(self, log_dir: str, name: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._path = os.path.join(log_dir, f"{name}_summaries.jsonl")
+
+    def write(self, step: int, metrics: Dict[str, float]) -> None:
+        with open(self._path, "a") as f:
+            f.write(json.dumps({"step": step, **metrics}) + "\n")
+
+
+def run_training(
+    *,
+    train_step: Callable,
+    state: TrainState,
+    train_iter: Iterator,
+    trainer: TrainerConfig,
+    model_dir: str,
+    eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
+    rng: Optional[jax.Array] = None,
+    place_batch: Callable = lambda b: b,
+) -> TrainState:
+    """Runs the full training loop; returns the final state.
+
+    Args:
+      train_step: jitted (state, batch, rng) -> (state, metric_sums).
+      train_iter: yields host batches.
+      eval_fn: optional callable running validation; returns metrics dict.
+      place_batch: device placement fn (e.g. ``shard_batch`` partial).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    ckpt = CheckpointManager(model_dir, max_to_keep=trainer.max_to_keep)
+    writer = SummaryWriter(model_dir, "train")
+    best = None
+    if trainer.best_checkpoint_export_subdir and trainer.best_checkpoint_eval_metric:
+        best = BestCheckpointExporter(
+            os.path.join(model_dir, trainer.best_checkpoint_export_subdir),
+            trainer.best_checkpoint_eval_metric,
+            trainer.best_checkpoint_metric_comp,
+        )
+
+    start_step = int(state.step)
+    latest = ckpt.latest_step()
+    if latest is not None and latest > start_step:
+        restored = ckpt.restore(
+            latest, template={"params": state.params, "opt_state": state.opt_state}
+        )
+        state = state.replace(
+            step=jax.numpy.asarray(latest, jax.numpy.int32),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        start_step = latest
+        logger.info("resumed from checkpoint at step %d", latest)
+
+    window_metrics: Dict[str, np.ndarray] = {}
+    t_loop = time.perf_counter()
+    for step_idx in range(start_step, trainer.train_steps):
+        batch = place_batch(next(train_iter))
+        state, metric_sums = train_step(state, batch, jax.random.fold_in(rng, step_idx))
+        for name, pair in metric_sums.items():
+            if name in window_metrics:
+                window_metrics[name] = (
+                    window_metrics[name][0] + np.asarray(pair[0]),
+                    window_metrics[name][1] + np.asarray(pair[1]),
+                )
+            else:
+                window_metrics[name] = (np.asarray(pair[0]), np.asarray(pair[1]))
+
+        step = step_idx + 1
+        if step % trainer.steps_per_loop == 0 or step == trainer.train_steps:
+            dt = time.perf_counter() - t_loop
+            finalized = _finalize_metrics(window_metrics)
+            finalized["steps_per_sec"] = trainer.steps_per_loop / dt
+            logger.info("step %d: %s", step, finalized)
+            window_metrics = {}
+            t_loop = time.perf_counter()
+            if step % trainer.summary_interval == 0 or step == trainer.train_steps:
+                writer.write(step, finalized)
+
+        if step % trainer.checkpoint_interval == 0 or step == trainer.train_steps:
+            ckpt.save(step, jax.device_get(state.params), jax.device_get(state.opt_state))
+
+        if eval_fn is not None and (
+            step % trainer.validation_interval == 0 or step == trainer.train_steps
+        ):
+            eval_metrics = eval_fn(state)
+            SummaryWriter(model_dir, "validation").write(step, eval_metrics)
+            logger.info("eval @ %d: %s", step, eval_metrics)
+            if best is not None:
+                best.maybe_export(step, eval_metrics, jax.device_get(state.params))
+
+    return state

@@ -1,0 +1,288 @@
+"""Tasks: pretraining (MLM+MPP+ITM) and classification (ITM finetune).
+
+Parity surface: ``src/tasks/pretraining.py`` and
+``src/tasks/classification.py`` -- build_model / build_losses /
+train_step / validation_step semantics, re-expressed as pure jitted
+functions over an SPMD mesh:
+
+* The reference's manual gradient-accumulation loop with tensor rotation
+  (``src/tasks/pretraining.py:242-274``) becomes a ``jax.lax.scan`` over
+  micro-batches: grads of (loss / num_micro_steps) are summed, exactly
+  reproducing the reference's mean-gradient semantics with static shapes
+  and no buffer rotation.
+* Cross-replica gradient reduction is implicit: the batch is sharded
+  along the mesh 'data' axis, params are replicated, and GSPMD inserts
+  the psum over ICI where TF used TPUStrategy all-reduce.
+* MLM/MPP losses and metrics are masked on ITM-negative examples
+  (``src/tasks/pretraining.py:101-110, 198-222``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mmt_tpu.configs.experiments import (
+    ClassificationTaskConfig,
+    PretrainingTaskConfig,
+    TrainerConfig,
+)
+from mmt_tpu.models import MmtClassificationModel, MmtPretrainingModel
+from mmt_tpu.train import losses as losses_lib
+from mmt_tpu.train.train_state import TrainState
+
+MODEL_INPUT_KEYS = (
+    "word_ids",
+    "segment_ids",
+    "att_mask",
+    "relative_att_ids",
+    "patch_embeddings",
+    "lengths",
+)
+
+
+def _model_inputs(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: batch[k] for k in MODEL_INPUT_KEYS if k in batch}
+
+
+def _batch_sharding_constraint(tree, mesh: Optional[Mesh]):
+    if mesh is None:
+        return tree
+    return jax.lax.with_sharding_constraint(
+        tree, NamedSharding(mesh, P(None, "data"))
+    )
+
+
+class PretrainingTask:
+    """MLM + MPP (+ ITM) pretraining."""
+
+    def __init__(self, config: PretrainingTaskConfig, trainer: TrainerConfig):
+        self.config = config
+        self.trainer = trainer
+        data_cfg = config.train_data
+        self.model = MmtPretrainingModel(
+            config.model,
+            mpp_output_num_classes=(2**data_cfg.output_channel_bits) ** 3,
+            num_patch_per_row=data_cfg.num_patch_per_row,
+        )
+
+    def init(self, rng, batch):
+        return self.model.init(rng, **_model_inputs(batch), deterministic=True,
+                               mlm_positions=batch.get("mlm_positions"),
+                               mpp_positions=batch.get("mpp_positions"))
+
+    def compute_loss(
+        self, params, batch, dropout_rng=None, deterministic: bool = False
+    ) -> Tuple[jnp.ndarray, Tuple[Dict, Dict]]:
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        outputs = self.model.apply(
+            params,
+            **_model_inputs(batch),
+            mlm_positions=batch.get("mlm_positions"),
+            mpp_positions=batch.get("mpp_positions"),
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+
+        has_itm = "itm_label_weights" in batch
+        mlm_w = batch["mlm_label_weights"]
+        mpp_w = batch["mpp_label_weights"]
+        if has_itm:
+            # Mask mlm/mpp on ITM-negative examples.
+            itm_ids = batch["itm_label_ids"].astype(jnp.float32)[:, None]
+            mlm_w = mlm_w * itm_ids
+            mpp_w = mpp_w * itm_ids
+
+        mlm_loss = losses_lib.weighted_sparse_categorical_crossentropy_loss(
+            outputs["mlm_logits"], batch["mlm_label_ids"], mlm_w
+        )
+        mpp_loss = losses_lib.weighted_sparse_categorical_crossentropy_loss(
+            outputs["mpp_logits"], batch["mpp_label_ids"], mpp_w
+        )
+        total = mlm_loss + mpp_loss
+        metrics = {
+            "mlm_loss": (mlm_loss, 1.0),
+            "mpp_loss": (mpp_loss, 1.0),
+        }
+        if has_itm:
+            itm_loss = losses_lib.weighted_sparse_categorical_crossentropy_loss(
+                outputs["itm_logits"], batch["itm_label_ids"], batch["itm_label_weights"]
+            )
+            total = total + itm_loss
+            metrics["itm_loss"] = (itm_loss, 1.0)
+
+        metrics.update(self._accuracy_updates(batch, outputs, mlm_w, mpp_w))
+        return total, (outputs, metrics)
+
+    def _accuracy_updates(self, batch, outputs, mlm_w, mpp_w):
+        upd = {}
+
+        def acc(labels, logits, w):
+            correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            return jnp.sum(correct * w), jnp.sum(w)
+
+        upd["mlm_accuracy"] = acc(batch["mlm_label_ids"], outputs["mlm_logits"], mlm_w)
+        upd["mpp_accuracy"] = acc(batch["mpp_label_ids"], outputs["mpp_logits"], mpp_w)
+        if "itm_label_weights" in batch and "itm_logits" in outputs:
+            upd["itm_accuracy"] = acc(
+                batch["itm_label_ids"], outputs["itm_logits"], batch["itm_label_weights"]
+            )
+        return upd
+
+    def make_train_step(self, mesh: Optional[Mesh] = None, micro_batch_size: int = 0):
+        """Returns jitted (state, batch, rng) -> (state, metrics).
+
+        ``micro_batch_size > 0`` enables gradient accumulation: the global
+        batch is reshaped to [k, micro, ...] and scanned, summing grads of
+        (loss / k) -- the reference's accumulation semantics
+        (``src/tasks/pretraining.py:250-298``) with static shapes.
+        """
+
+        def loss_for_grad(params, micro, rng, k):
+            loss, (_, metrics) = self.compute_loss(params, micro, rng, False)
+            return loss / k, metrics
+
+        def step(state: TrainState, batch, rng):
+            if micro_batch_size:
+                bsz = batch["word_ids"].shape[0]
+                k = max(1, bsz // micro_batch_size)
+
+                def reshape(x):
+                    return x.reshape((k, bsz // k) + x.shape[1:])
+
+                micro_batches = _batch_sharding_constraint(
+                    jax.tree.map(reshape, batch), mesh
+                )
+                rngs = jax.random.split(rng, k)
+
+                def body(carry, xs):
+                    grads_acc, loss_acc = carry
+                    micro, r = xs
+                    (loss, metrics), grads = jax.value_and_grad(
+                        loss_for_grad, has_aux=True
+                    )(state.params, micro, r, float(k))
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss), metrics
+
+                zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+                (grads, loss), metrics_stack = jax.lax.scan(
+                    body, (zero_grads, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
+                )
+                metrics = jax.tree.map(lambda x: jnp.sum(x, 0), metrics_stack)
+            else:
+                (loss, (_, metrics)), grads = jax.value_and_grad(
+                    lambda p: self.compute_loss(p, batch, rng, False), has_aux=True
+                )(state.params)
+            new_state = state.apply_gradients(grads)
+            metrics = dict(metrics)
+            metrics["total_loss"] = (loss, 1.0)
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_eval_step(self):
+        def step(params, batch):
+            loss, (_, metrics) = self.compute_loss(params, batch, None, True)
+            metrics = dict(metrics)
+            metrics["total_loss"] = (loss, 1.0)
+            return metrics
+
+        return jax.jit(step)
+
+
+class ClassificationTask:
+    """ITM classification finetune / retrieval scoring."""
+
+    def __init__(self, config: ClassificationTaskConfig, trainer: TrainerConfig):
+        self.config = config
+        self.trainer = trainer
+        data_cfg = config.train_data
+        self.model = MmtClassificationModel(
+            config.model, num_patch_per_row=data_cfg.num_patch_per_row
+        )
+        heads = config.model.cls_heads
+        self.logits_key = f"{heads[0].name}_logits" if heads else "logits"
+        self.num_classes = heads[0].num_classes if heads else config.model.num_classes
+
+    def init(self, rng, batch):
+        return self.model.init(rng, **_model_inputs(batch), deterministic=True)
+
+    def compute_loss(self, params, batch, dropout_rng=None, deterministic=False):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        outputs = self.model.apply(
+            params, **_model_inputs(batch), deterministic=deterministic, rngs=rngs
+        )
+        logits = outputs[self.logits_key]
+        labels = batch["label_ids"]
+        weights = batch["label_weights"]
+        pos_weights = batch.get("pos_weights")
+
+        if self.num_classes == 1:
+            loss = losses_lib.weighted_binary_crossentropy_loss(
+                logits, labels, weights, pos_weights
+            )
+        else:
+            loss = losses_lib.weighted_sparse_categorical_crossentropy_loss(
+                logits, labels, weights, pos_weights
+            )
+        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        metrics = {
+            "cls_loss": (loss, 1.0),
+            "cls_accuracy": (
+                jnp.sum(correct * weights),
+                jnp.sum(weights.astype(jnp.float32)),
+            ),
+        }
+        return loss, (outputs, metrics)
+
+    def make_train_step(self, mesh: Optional[Mesh] = None):
+        def step(state: TrainState, batch, rng):
+            (loss, (_, metrics)), grads = jax.value_and_grad(
+                lambda p: self.compute_loss(p, batch, rng, False), has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads)
+            metrics = dict(metrics)
+            metrics["total_loss"] = (loss, 1.0)
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_eval_step(self):
+        def step(params, batch):
+            loss, (outputs, metrics) = self.compute_loss(params, batch, None, True)
+            metrics = dict(metrics)
+            metrics["total_loss"] = (loss, 1.0)
+            # Probabilities for host-side AUC-PR.
+            logits = outputs[self.logits_key]
+            if self.num_classes == 1:
+                probs = jax.nn.sigmoid(logits.reshape(-1))
+            elif self.num_classes == 2:
+                probs = jax.nn.softmax(logits, axis=-1)[:, 1]
+            else:
+                probs = jnp.argmax(logits, axis=-1).astype(jnp.float32)
+            return metrics, probs
+
+        return jax.jit(step)
+
+    def make_inference_step(self):
+        """Jitted (params, batch) -> scores, with the reference's logit
+        conversion (sigmoid / softmax[:,1] / argmax;
+        ``src/tasks/classification.py:286-293``)."""
+
+        @functools.partial(jax.jit)
+        def step(params, batch):
+            outputs = self.model.apply(
+                params, **_model_inputs(batch), deterministic=True
+            )
+            logits = outputs[self.logits_key]
+            if self.num_classes == 1:
+                return jax.nn.sigmoid(logits.reshape(-1))
+            if self.num_classes == 2:
+                return jax.nn.softmax(logits, axis=-1)[:, 1]
+            return jnp.argmax(logits, axis=-1).astype(jnp.float32)
+
+        return step

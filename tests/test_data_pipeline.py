@@ -1,0 +1,226 @@
+"""End-to-end data pipeline tests over synthetic TFRecords."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mmt_tpu.configs.data import (
+    MmtClassificationDataConfig,
+    MmtPretrainDataConfig,
+    MmtRetrievalDataConfig,
+)
+from mmt_tpu.data.tfrecord import (
+    TFRecordReader,
+    TFRecordWriter,
+    build_example,
+    parse_example,
+)
+from mmt_tpu.data.loaders import (
+    MmtClassificationLoader,
+    MmtPretrainLoader,
+    MmtRetrievalLoader,
+)
+
+WORDS = ["red", "blue", "shirt", "dress", "cotton", "wool", "style", "fashion"]
+VOCAB = (
+    ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[ATT]", "[REF]", "[PATCH]"]
+    + [f"[unused{i}]" for i in range(99, 120)]
+    + WORDS
+)
+
+
+def make_vocab(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return str(p)
+
+
+def png_bytes(rng, size=32):
+    from PIL import Image
+
+    arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    im = Image.fromarray(arr)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def write_records(path, n, rng, with_indices=False, image_only=False, text_only=False):
+    with TFRecordWriter(path) as w:
+        for i in range(n):
+            feats = {}
+            if not text_only:
+                feats["image_data"] = [png_bytes(rng)]
+                feats["image_key"] = [f"img{i}".encode()]
+            if not image_only:
+                caption = " ".join(rng.choice(WORDS, size=8))
+                feats["caption_attribution_description"] = [caption.encode()]
+                feats["caption_reference_description"] = [
+                    " ".join(rng.choice(WORDS, size=4)).encode()
+                ]
+            if with_indices:
+                if image_only:
+                    feats["image_index"] = [i]
+                elif text_only:
+                    feats["text_index"] = [i]
+                    feats["gt_image_index"] = [i // 2]
+                else:
+                    feats["image_index"] = [i]
+                    feats["text_index"] = [i]
+                    feats["gt_image_index"] = [i]
+            w.write(build_example(feats))
+    return path
+
+
+def data_kwargs(vocab, **kw):
+    base = dict(
+        vocab_filename=vocab,
+        image_size=32,
+        patch_size=16,  # 4 patches
+        max_seq_len=32,
+        seed=7,
+    )
+    base.update(kw)
+    return base
+
+
+class TestTFRecordRoundtrip:
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "x.tfrecord")
+        with TFRecordWriter(p) as w:
+            w.write(build_example({"a": [b"xy"], "b": [1.5], "c": [7, -2]}))
+        recs = list(TFRecordReader(p, check_crc=True))
+        assert len(recs) == 1
+        got = parse_example(recs[0])
+        assert got["a"] == [b"xy"]
+        np.testing.assert_allclose(got["b"], [1.5])
+        assert got["c"] == [7, -2]
+
+
+class TestPretrainLoader:
+    def test_batch_contract(self, tmp_path):
+        rng = np.random.default_rng(0)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "train.tfrecord"), 24, rng)
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=path, tasks="mlm,mpp,itm",
+                          global_batch_size=16, min_shift=2,
+                          mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+        loader = MmtPretrainLoader(cfg)
+        batch = next(iter(loader.load()))
+
+        B, S = 16, 32
+        assert batch["word_ids"].shape == (B, S)
+        assert batch["patch_embeddings"].shape == (B, 4, 768)
+        assert batch["mlm_positions"].shape == (B, 8)
+        assert batch["mpp_positions"].shape == (B, 4)
+        assert batch["itm_label_ids"].shape == (B,)
+        # First half positives, second half negatives (ratio 1).
+        assert batch["itm_label_ids"][:8].sum() == 8
+        assert batch["itm_label_ids"][8:].sum() == 0
+        # Sequence layout: [CLS] [PATCH] p1..p4 then text special token.
+        cls, patch = VOCAB.index("[CLS]"), VOCAB.index("[PATCH]")
+        att = VOCAB.index("[ATT]")
+        assert batch["word_ids"][0, 0] == cls
+        assert batch["word_ids"][0, 1] == patch
+        assert batch["word_ids"][0, 6] == att
+        # segment ids: image part 1, first text slot quirk 0, then 2.
+        assert batch["segment_ids"][0, 0] == 1
+        assert batch["segment_ids"][0, 6] == 0
+        assert batch["segment_ids"][0, 7] == 2
+        # lengths = img_wp + txt_wp <= S.
+        assert np.all(batch["lengths"] <= S)
+        assert np.all(batch["lengths"] >= 6 + 6)
+
+    def test_mpp_positions_point_at_patches(self, tmp_path):
+        rng = np.random.default_rng(1)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "t.tfrecord"), 12, rng)
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=path, tasks="mlm,mpp",
+                          global_batch_size=4, mpp_fraction_to_mask=1.0,
+                          mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+        batch = next(iter(MmtPretrainLoader(cfg).load()))
+        # All 4 patches masked; positions 2..5; labels in [0, 512).
+        np.testing.assert_array_equal(np.sort(batch["mpp_positions"][0]), [2, 3, 4, 5])
+        assert np.all(batch["mpp_label_ids"] >= 0)
+        assert np.all(batch["mpp_label_ids"] < 512)
+        # Masked patches' embeddings zeroed where token == [MASK].
+        mask_id = VOCAB.index("[MASK]")
+        masked = batch["word_ids"][0, 2:6] == mask_id
+        assert np.all(batch["patch_embeddings"][0][masked] == 0)
+
+
+class TestClassificationLoader:
+    def test_labels_and_ratio(self, tmp_path):
+        rng = np.random.default_rng(2)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "c.tfrecord"), 30, rng)
+        cfg = MmtClassificationDataConfig(
+            **data_kwargs(vocab, input_path=path, global_batch_size=24,
+                          negative_positive_ratio=2, min_shift=2, pos_weight=3.0)
+        )
+        batch = next(iter(MmtClassificationLoader(cfg).load()))
+        assert batch["label_ids"].shape == (24,)
+        assert batch["label_ids"][:8].sum() == 8
+        assert batch["label_ids"][8:].sum() == 0
+        np.testing.assert_array_equal(
+            batch["pos_weights"], np.where(batch["label_ids"] > 0, 3.0, 1.0)
+        )
+
+
+class TestRetrievalLoader:
+    def test_cross_product(self, tmp_path):
+        rng = np.random.default_rng(3)
+        vocab = make_vocab(tmp_path)
+        imgs = write_records(
+            str(tmp_path / "img.tfrecord"), 3, rng, with_indices=True, image_only=True
+        )
+        txts = write_records(
+            str(tmp_path / "txt.tfrecord"), 4, rng, with_indices=True, text_only=True
+        )
+        cfg = MmtRetrievalDataConfig(
+            **data_kwargs(vocab, image_input_path=imgs, text_input_path=txts,
+                          num_image_examples=3, num_text_examples=4,
+                          global_batch_size=8, is_training=False)
+        )
+        batches = list(MmtRetrievalLoader(cfg).load())
+        # 3 x 4 = 12 pairs in batches of 8 -> 2 batches, second padded.
+        assert len(batches) == 2
+        assert batches[0]["valid"].sum() == 8
+        assert batches[1]["valid"].sum() == 4
+        # Every (image, text) combination appears exactly once.
+        pairs = set()
+        for b in batches:
+            for i in range(8):
+                if b["valid"][i]:
+                    pairs.add((int(b["image_index"][i]), int(b["text_index"][i])))
+        assert pairs == {(i, t) for i in range(3) for t in range(4)}
+        # Label = image_index == gt_image_index (gt = text_index // 2).
+        for b in batches:
+            for i in range(8):
+                if b["valid"][i]:
+                    expect = int(b["image_index"][i] == b["gt_image_index"][i])
+                    assert b["label_ids"][i] == expect
+
+    def test_paired_records(self, tmp_path):
+        rng = np.random.default_rng(4)
+        vocab = make_vocab(tmp_path)
+        path = write_records(
+            str(tmp_path / "p.tfrecord"), 5, rng, with_indices=True
+        )
+        cfg = MmtRetrievalDataConfig(
+            **data_kwargs(vocab, input_path=path, global_batch_size=4,
+                          is_training=False)
+        )
+        batches = list(MmtRetrievalLoader(cfg).load())
+        assert len(batches) == 2
+        assert batches[1]["valid"].sum() == 1
+        assert np.all(batches[0]["label_ids"] == 1)  # paired: img==gt
