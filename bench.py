@@ -41,7 +41,7 @@ def build(attention_impl: str, compute_dtype: str, batch: int, seed: int = 0):
                            attention_impl=attention_impl)
     model = MmtClassificationModel(cfg, num_patch_per_row=14)
     inputs = _flagship_inputs(batch, SEQ_LEN, seed=seed)
-    params = model.init(jax.random.PRNGKey(0), **inputs)
+    params = jax.jit(lambda r: model.init(r, **inputs))(jax.random.PRNGKey(0))
 
     @jax.jit
     def forward(params, word_ids, segment_ids, patch_embeddings, lengths):
@@ -82,7 +82,7 @@ def cpu_baseline() -> float:
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import bench, json\n"
         "fwd, args = bench.build('xla','float32', bench.CPU_BATCH)\n"
-        "eps = bench.measure(fwd, args, bench.CPU_BATCH, iters=2, warmup=0)\n"
+        "eps = bench.measure(fwd, args, bench.CPU_BATCH, iters=1, warmup=0)\n"
         "print('CPU_RESULT ' + json.dumps(eps))\n"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")

@@ -55,8 +55,8 @@ class MmtEncoderConfig(Config):
     # Rematerialize each transformer layer (memory for FLOPs trade).
     remat: bool = False
     # Block size for the pallas attention kernel.
-    attention_block_q: int = 256
-    attention_block_k: int = 256
+    attention_block_q: int = 512
+    attention_block_k: int = 512
 
 
 @dataclasses.dataclass

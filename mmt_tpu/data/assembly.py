@@ -59,11 +59,20 @@ class ExampleAssembler:
             for k, v in json.loads(config.text_special_token_field_dict).items()
         }
         n = config.num_patches
-        if n > 895 - (PATCH_START_UNUSED_INDEX - 104):
+        # Patch slots use distinct unused vocab tokens starting at
+        # [unused99] -- index 104 in the standard BERT vocab (the
+        # reference hardcodes 104; src/data/data_utils.py:31,108-115).
+        # Deriving it from the vocab keeps parity there and stays
+        # in-range for custom vocabs.
+        patch_start = vocab.get("[unused99]", PATCH_START_UNUSED_INDEX)
+        if n > 895:
             raise ValueError(f"too many patches ({n}) for the unused-token range")
-        self.patch_ids = np.arange(
-            PATCH_START_UNUSED_INDEX, PATCH_START_UNUSED_INDEX + n, dtype=np.int32
-        )
+        if patch_start + n > len(vocab):
+            raise ValueError(
+                f"vocab too small: patches need ids [{patch_start}, "
+                f"{patch_start + n}) but vocab has {len(vocab)} entries"
+            )
+        self.patch_ids = np.arange(patch_start, patch_start + n, dtype=np.int32)
         # Budget: max_seq_len - #special_tokens - [SEP] - [CLS] - [PATCH] - N
         # (src/data/data_utils.py:117-121).
         self.max_text_wordpieces = (

@@ -44,7 +44,9 @@ class EmbeddingLookup(nn.Module):
                 "...v,vd->...d", one_hot, table, preferred_element_type=self.dtype
             )
         else:
-            out = jnp.take(table, ids, axis=0)
+            # clip mode: OOB ids clamp to the last row (TPU gather
+            # semantics) instead of producing NaN fill values.
+            out = jnp.take(table, ids, axis=0, mode="clip")
         if self.projection_size is not None and self.projection_size != self.embedding_size:
             out = nn.Dense(
                 self.projection_size,

@@ -138,6 +138,9 @@ class MmtEncoder(nn.Module):
             attention_impl=cfg.attention_impl,
             block_q=cfg.attention_block_q,
             block_k=cfg.attention_block_k,
+            relative_pos_max_distance=cfg.relative_pos_max_distance,
+            relative_att_num_core_layers=cfg.relative_att_num_core_layers,
+            num_patch_per_row=self.num_patch_per_row,
             remat=cfg.remat,
             name="transformer",
         )
@@ -170,17 +173,28 @@ class MmtEncoder(nn.Module):
         cfg = self.config
         batch, seq_len = word_ids.shape
 
-        if relative_att_ids is None and cfg.relative_pos_max_distance > 0:
-            relative_att_ids = jnp.asarray(
-                make_relative_att_ids_const(cfg, seq_len, self.num_patch_per_row)
-            )
-        # The Pallas path masks in-kernel from `lengths`; only materialize a
-        # dense mask when the XLA path will actually run.
+        # The Pallas path regenerates ids and the padding mask in-kernel
+        # from (geometry, lengths); only when the XLA path will run do we
+        # materialize the static [S,S] id map and a dense mask.
         pallas_capable = (
             cfg.attention_impl == "pallas"
             and (deterministic or cfg.attention_probs_dropout_prob == 0.0)
-            and (relative_att_ids is None or relative_att_ids.ndim == 2)
+            and relative_att_ids is None
+            and lengths is not None
+            and (
+                cfg.relative_att_num_core_layers == 0
+                or self.num_patch_per_row**2
+                <= min(cfg.attention_block_q, cfg.attention_block_k, seq_len)
+            )
         )
+        if (
+            not pallas_capable
+            and relative_att_ids is None
+            and cfg.relative_pos_max_distance > 0
+        ):
+            relative_att_ids = jnp.asarray(
+                make_relative_att_ids_const(cfg, seq_len, self.num_patch_per_row)
+            )
         if att_mask is None and lengths is not None and not pallas_capable:
             att_mask = make_att_mask_from_length(seq_len, lengths)
 

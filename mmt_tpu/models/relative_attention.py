@@ -40,7 +40,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mmt_tpu.ops.relative_attention_ref import relative_attention_scores
-from mmt_tpu.ops.pallas_attention import pallas_relative_attention
+from mmt_tpu.ops.pallas_attention import RelGeometry, pallas_relative_attention
 
 NEG_INF = -10000.0
 
@@ -53,8 +53,13 @@ class RelativeAttention(nn.Module):
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
-    block_q: int = 256
-    block_k: int = 256
+    block_q: int = 512
+    block_k: int = 512
+    # Static id-scheme geometry for the fused kernel (regenerates ids from
+    # index arithmetic in-kernel; no [S,S] map is ever materialized).
+    relative_pos_max_distance: int = 0
+    relative_att_num_core_layers: int = 0
+    num_patch_per_row: int = 0
 
     @nn.compact
     def __call__(
@@ -89,22 +94,29 @@ class RelativeAttention(nn.Module):
         else:
             rel_table = None
 
-        # The fused kernel handles: static [S,S] ids (or no ids), in-kernel
-        # length masking, no attention-probs dropout (training with
-        # dropout falls back to the XLA path, whose grads XLA derives).
+        # The fused kernel regenerates ids in-kernel from the static
+        # geometry; explicitly-supplied id tensors, or training with
+        # attention dropout, use the XLA path (whose grads XLA derives).
         use_pallas = (
             self.attention_impl == "pallas"
             and lengths is not None
-            and (relative_att_ids is None or relative_att_ids.ndim == 2)
+            and relative_att_ids is None
             and (deterministic or self.attention_dropout == 0.0)
         )
         if use_pallas:
+            geometry = None
+            if self.relative_vocab_size and self.relative_pos_max_distance:
+                geometry = RelGeometry(
+                    text_max_distance=self.relative_pos_max_distance,
+                    num_patch_per_row=self.num_patch_per_row,
+                    num_core_layers=self.relative_att_num_core_layers,
+                )
             ctx = pallas_relative_attention(
                 q,
                 k,
                 v,
                 rel_table,
-                relative_att_ids,
+                geometry,
                 lengths,
                 block_q=self.block_q,
                 block_k=self.block_k,
@@ -143,8 +155,11 @@ class RelativeTransformerLayer(nn.Module):
     use_pre_activation_order: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
-    block_q: int = 256
-    block_k: int = 256
+    block_q: int = 512
+    block_k: int = 512
+    relative_pos_max_distance: int = 0
+    relative_att_num_core_layers: int = 0
+    num_patch_per_row: int = 0
 
     @nn.compact
     def __call__(
@@ -162,6 +177,9 @@ class RelativeTransformerLayer(nn.Module):
             attention_impl=self.attention_impl,
             block_q=self.block_q,
             block_k=self.block_k,
+            relative_pos_max_distance=self.relative_pos_max_distance,
+            relative_att_num_core_layers=self.relative_att_num_core_layers,
+            num_patch_per_row=self.num_patch_per_row,
             name="attention",
         )
         dropout = nn.Dropout(rate=self.hidden_dropout)
@@ -210,8 +228,11 @@ class RelativeTransformerLayers(nn.Module):
     use_pre_activation_order: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
-    block_q: int = 256
-    block_k: int = 256
+    block_q: int = 512
+    block_k: int = 512
+    relative_pos_max_distance: int = 0
+    relative_att_num_core_layers: int = 0
+    num_patch_per_row: int = 0
     remat: bool = False
 
     @nn.compact
@@ -235,6 +256,9 @@ class RelativeTransformerLayers(nn.Module):
                 attention_impl=self.attention_impl,
                 block_q=self.block_q,
                 block_k=self.block_k,
+                relative_pos_max_distance=self.relative_pos_max_distance,
+                relative_att_num_core_layers=self.relative_att_num_core_layers,
+                num_patch_per_row=self.num_patch_per_row,
                 name=f"layer_{i}",
             )(x, att_mask, relative_att_ids, deterministic, lengths)
         return x

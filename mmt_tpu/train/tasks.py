@@ -88,7 +88,9 @@ class PretrainingTask:
             rngs=rngs,
         )
 
-        has_itm = "itm_label_weights" in batch
+        has_itm = "itm_label_weights" in batch and any(
+            h.name == "itm" for h in self.config.model.cls_heads
+        )
         mlm_w = batch["mlm_label_weights"]
         mpp_w = batch["mpp_label_weights"]
         if has_itm:
