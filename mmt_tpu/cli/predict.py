@@ -99,8 +99,8 @@ def main(argv=None):
     params = task.init(jax.random.PRNGKey(0), first)
 
     mgr = CheckpointManager(args.init_checkpoint)
-    restored = mgr.restore(template={"params": params["params"]})
-    params = {"params": restored["params"]}
+    restored = mgr.restore(template={"params": params})
+    params = restored["params"]
     logging.info("restored checkpoint from %s", args.init_checkpoint)
 
     step = task.make_inference_step()

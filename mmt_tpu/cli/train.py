@@ -109,8 +109,8 @@ def main(argv=None):
     params = task.init(rng, jax.tree.map(lambda x: x, first))
     if cfg.task.init_checkpoint:
         mgr = CheckpointManager(cfg.task.init_checkpoint)
-        restored = mgr.restore(template={"params": params["params"]})
-        params = {"params": restored["params"]}
+        restored = mgr.restore(template={"params": params})
+        params = restored["params"]
         logging.info("warm-started from %s", cfg.task.init_checkpoint)
 
     tx = create_optimizer(cfg.trainer.optimizer_config, cfg.trainer.train_steps)

@@ -8,6 +8,7 @@ Replaces the reference's dependence on TFM ``hyperparams.Config`` /
 from __future__ import annotations
 
 import dataclasses
+import typing
 from typing import Any, Dict, Type, TypeVar
 
 import yaml
@@ -47,6 +48,10 @@ def override(cfg: T, overrides: Dict[str, Any], strict: bool = True, _path: str 
     if not dataclasses.is_dataclass(cfg):
         raise TypeError(f"override target at {_path or '<root>'} is not a config")
     field_map = {f.name: f for f in dataclasses.fields(cfg)}
+    try:
+        hints = typing.get_type_hints(type(cfg))
+    except Exception:
+        hints = {}
     updates: Dict[str, Any] = {}
     for key, value in overrides.items():
         path = f"{_path}.{key}" if _path else key
@@ -64,15 +69,15 @@ def override(cfg: T, overrides: Dict[str, Any], strict: bool = True, _path: str 
                 elem_cls = type(current[0])
                 updates[key] = [elem_cls(**v) for v in value]
             else:
-                elem_cls = _element_type(field_map[key])
+                elem_cls = _element_type(hints.get(key, field_map[key].type))
                 updates[key] = [elem_cls(**v) for v in value] if elem_cls else list(value)
         else:
             updates[key] = value
     return dataclasses.replace(cfg, **updates)
 
 
-def _element_type(field: dataclasses.Field):
-    args = getattr(field.type, "__args__", None)
+def _element_type(annotation):
+    args = getattr(annotation, "__args__", None)
     if args and dataclasses.is_dataclass(args[0]):
         return args[0]
     return None

@@ -196,17 +196,34 @@ def _kernel(
             + jnp.where(offs < -dtd, qr[:, 2 * dtd][:, None], 0.0)
         )
 
-        # Exact diagonal band: runs only in tiles whose offset range
-        # intersects [-D, D] (static per tile, read via scalar prefetch).
+        # Exact diagonal band: each offset in [-D, D] runs only in tiles
+        # whose (static, scalar-prefetched) offset range contains it --
+        # diagonal tiles see all 2D+1 offsets, adjacent tiles a corner
+        # sliver, everything else skips.  Band arithmetic in bfloat16
+        # (VPU 2x) -- the bias is small-magnitude and the final add is f32.
         band_lo = meta_ref[t, 0]
         band_hi = meta_ref[t, 1]
 
+        band_dtype = q.dtype  # bf16 inputs -> bf16 band math (VPU 2x)
+
         def band_bias(bias):
-            add = jnp.zeros_like(bias)
+            qr_b = qr.astype(band_dtype)
+            add = jnp.zeros(bias.shape, band_dtype)
             for off_val in range(-dtd, dtd + 1):
                 vid = off_val if off_val >= 0 else dtd - off_val
-                add = add + jnp.where(offs == off_val, qr[:, vid][:, None], 0.0)
-            return bias + tmask(add)
+
+                def one(add, _v=vid, _o=off_val):
+                    return add + jnp.where(
+                        offs == _o, qr_b[:, _v][:, None], jnp.zeros((), band_dtype)
+                    )
+
+                add = jax.lax.cond(
+                    (band_lo <= off_val) & (off_val <= band_hi),
+                    one,
+                    lambda a: a,
+                    add,
+                )
+            return bias + tmask(add.astype(jnp.float32))
 
         bias = jax.lax.cond(band_lo <= band_hi, band_bias, lambda x: x, bias)
 
@@ -243,12 +260,18 @@ def _kernel(
 
     s = s * softmax_scale
 
-    # In-kernel segmented padding mask from the example's real length.
+    # In-kernel segmented padding mask from the example's real length --
+    # skipped entirely for tiles fully inside the real sequence.
     length = lengths_ref[b]
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    same_segment = (q_pos < length) == (k_pos < length)
-    s = s + jnp.where(same_segment, 0.0, NEG_INF)
+
+    def apply_mask(s):
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        same_segment = (q_pos < length) == (k_pos < length)
+        return s + jnp.where(same_segment, 0.0, NEG_INF)
+
+    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
+    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
     m_prev = m_scratch[:, 0]
     l_prev = l_scratch[:, 0]

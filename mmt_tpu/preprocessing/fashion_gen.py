@@ -1,0 +1,126 @@
+"""Fashion-Gen builders: train/val splits + retrieval test sets.
+
+Parity: ``preprocessing/create_fashion_gen_split.py`` (paired records
+from \\x01-separated info files + extracted images) and
+``preprocessing/create_fashion_gen_retrieval_test_data.py`` (i2t/t2i
+candidate pools from Fashion-BERT/Kaleido-BERT CSVs: each row is one
+scored pair carrying image_index/text_index/gt_image_index; gt -1 when
+the ground truth is absent from the pool).
+
+Usage:
+  # paired split records
+  python -m mmt_tpu.preprocessing.fashion_gen split \
+      --txt_info=full_train_info.txt --images_dir=imgs --output=fg.train.recordio
+
+  # retrieval test data from candidate csv (columns: image_id, desc,
+  # image_index, text_index, gt_image_index)
+  python -m mmt_tpu.preprocessing.fashion_gen retrieval \
+      --txt_info=full_valid_info.txt --images_dir=imgs \
+      --candidates_csv=fashion_bert_i2t_test.csv --task=i2t \
+      --eval_data_dir=/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from mmt_tpu.data.tfrecord import TFRecordWriter
+from mmt_tpu.preprocessing.records import get_txt_info, image_example
+
+
+def build_split(txt_info_path, images_dir, output_path, image_ext="png"):
+    txt_info = get_txt_info(txt_info_path)
+    n = 0
+    with TFRecordWriter(output_path) as w:
+        for image_id, string_dict in txt_info.items():
+            img_path = os.path.join(images_dir, f"{image_id}.{image_ext}")
+            if not os.path.exists(img_path):
+                continue
+            with open(img_path, "rb") as f:
+                im = f.read()
+            w.write(image_example(im, string_dict))
+            n += 1
+    return n
+
+
+def build_retrieval(
+    txt_info_path, images_dir, candidates_csv, task, eval_data_dir,
+    image_ext="png", max_seq_length=512,
+):
+    import pandas as pd
+
+    txt_info = get_txt_info(txt_info_path, description_key="original_description")
+    df = pd.read_csv(
+        candidates_csv,
+        dtype={"image_id": str, "image_index": int, "text_index": int,
+               "gt_image_index": int},
+    )
+    out_dir = os.path.join(eval_data_dir, task)
+    os.makedirs(out_dir, exist_ok=True)
+    record_path = os.path.join(out_dir, f"fashion_gen.{task}.valid.recordio-00000-of-00001")
+    with TFRecordWriter(record_path) as w:
+        for _, row in df.iterrows():
+            string_dict = dict(txt_info[row.image_id])
+            # The candidate CSV's description may differ slightly from the
+            # info file; the CSV's text is authoritative for scoring.
+            string_dict["description"] = str(row.desc).encode()
+            with open(os.path.join(images_dir, f"{row.image_id}.{image_ext}"), "rb") as f:
+                im = f.read()
+            w.write(
+                image_example(
+                    im,
+                    string_dict,
+                    {
+                        "image_index": int(row.image_index),
+                        "text_index": int(row.text_index),
+                        "gt_image_index": int(row.gt_image_index),
+                    },
+                )
+            )
+    meta = {
+        "processor_type": "fashion_gen",
+        "max_seq_length": max_seq_length,
+        "task_type": "mmt_retrieval",
+        "val_input_path": record_path,
+        "val_num_examples": len(df),
+    }
+    with open(os.path.join(out_dir, "input_meta_data"), "w") as f:
+        json.dump(meta, f, indent=4)
+    return meta
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("split")
+    ps.add_argument("--txt_info", required=True)
+    ps.add_argument("--images_dir", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--image_ext", default="png")
+
+    pr = sub.add_parser("retrieval")
+    pr.add_argument("--txt_info", required=True)
+    pr.add_argument("--images_dir", required=True)
+    pr.add_argument("--candidates_csv", required=True)
+    pr.add_argument("--task", choices=["i2t", "t2i"], required=True)
+    pr.add_argument("--eval_data_dir", required=True)
+    pr.add_argument("--image_ext", default="png")
+    pr.add_argument("--max_seq_length", type=int, default=512)
+
+    args = p.parse_args(argv)
+    if args.cmd == "split":
+        n = build_split(args.txt_info, args.images_dir, args.output, args.image_ext)
+        print(f"wrote {n} examples to {args.output}")
+    else:
+        meta = build_retrieval(
+            args.txt_info, args.images_dir, args.candidates_csv, args.task,
+            args.eval_data_dir, args.image_ext, args.max_seq_length,
+        )
+        print(json.dumps(meta, indent=2))
+
+
+if __name__ == "__main__":
+    main()
