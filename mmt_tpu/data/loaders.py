@@ -71,10 +71,16 @@ class _BaseLoader:
         self.assembler = ExampleAssembler(config, tokenizer)
 
     def _record_iter(self, patterns, shard_index, num_shards, rng, repeat):
+        from mmt_tpu.data import native
+
+        use_native = native.available()
         while True:
             files = _glob_shard(patterns, shard_index, num_shards, rng)
             for path in files:
-                yield from TFRecordReader(path)
+                if use_native:
+                    yield from native.iter_records(path)
+                else:
+                    yield from TFRecordReader(path)
             if not repeat:
                 return
 

@@ -211,18 +211,7 @@ def _kernel(
             add = jnp.zeros(bias.shape, band_dtype)
             for off_val in range(-dtd, dtd + 1):
                 vid = off_val if off_val >= 0 else dtd - off_val
-
-                def one(add, _v=vid, _o=off_val):
-                    return add + jnp.where(
-                        offs == _o, qr_b[:, _v][:, None], jnp.zeros((), band_dtype)
-                    )
-
-                add = jax.lax.cond(
-                    (band_lo <= off_val) & (off_val <= band_hi),
-                    one,
-                    lambda a: a,
-                    add,
-                )
+                add = add + (offs == off_val).astype(band_dtype) * qr_b[:, vid][:, None]
             return bias + tmask(add.astype(jnp.float32))
 
         bias = jax.lax.cond(band_lo <= band_hi, band_bias, lambda x: x, bias)
@@ -260,18 +249,12 @@ def _kernel(
 
     s = s * softmax_scale
 
-    # In-kernel segmented padding mask from the example's real length --
-    # skipped entirely for tiles fully inside the real sequence.
+    # In-kernel segmented padding mask from the example's real length.
     length = lengths_ref[b]
-
-    def apply_mask(s):
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        same_segment = (q_pos < length) == (k_pos < length)
-        return s + jnp.where(same_segment, 0.0, NEG_INF)
-
-    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
-    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    same_segment = (q_pos < length) == (k_pos < length)
+    s = s + jnp.where(same_segment, 0.0, NEG_INF)
 
     m_prev = m_scratch[:, 0]
     l_prev = l_scratch[:, 0]

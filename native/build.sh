@@ -1,0 +1,6 @@
+#!/bin/sh
+# Builds libmmt_data.so next to this script.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -march=native -fPIC -shared -o libmmt_data.so mmt_data.cc
+echo "built $(pwd)/libmmt_data.so"
