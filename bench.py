@@ -61,13 +61,25 @@ def build(attention_impl: str, compute_dtype: str, batch: int, seed: int = 0):
 
 
 def measure(forward, args, batch: int, iters: int, warmup: int = 2) -> float:
-    forward(*args)[0].block_until_ready()  # compile
-    for _ in range(warmup):
-        forward(*args).block_until_ready()
+    """Blocked per-iteration timing over distinct inputs.
+
+    Each call uses a different word_ids tensor and is individually
+    synchronized: the remote-execution relay in this environment
+    short-circuits repeated identical dispatches, so async-queue timing
+    over one input undercounts wildly.
+    """
+    import jax.numpy as jnp
+
+    params, word_ids, *rest = args
+    variants = [
+        (params, jnp.roll(word_ids, i, axis=1), *rest) for i in range(max(iters, 1))
+    ]
+    forward(*variants[0])[0].block_until_ready()  # compile
+    for i in range(warmup):
+        forward(*variants[i % len(variants)]).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(*args)
-    out.block_until_ready()
+    for i in range(iters):
+        forward(*variants[i]).block_until_ready()
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
