@@ -69,17 +69,21 @@ def measure(forward, args, batch: int, iters: int, warmup: int = 2) -> float:
     over one input undercounts wildly.
     """
     import jax.numpy as jnp
+    import numpy as np
 
     params, word_ids, *rest = args
     variants = [
         (params, jnp.roll(word_ids, i, axis=1), *rest) for i in range(max(iters, 1))
     ]
-    forward(*variants[0])[0].block_until_ready()  # compile
+    # Host-transfer each result: on the tunneled TPU runtime in this
+    # environment, block_until_ready alone does not await remote
+    # completion -- only a device->host transfer is a true sync point.
+    np.asarray(forward(*variants[0]))  # compile
     for i in range(warmup):
-        forward(*variants[i % len(variants)]).block_until_ready()
+        np.asarray(forward(*variants[i % len(variants)]))
     t0 = time.perf_counter()
     for i in range(iters):
-        forward(*variants[i]).block_until_ready()
+        np.asarray(forward(*variants[i]))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
