@@ -51,6 +51,7 @@ class MmtDataConfig(Config):
     # Minimum index shift for ITM negatives (avoids false negatives).
     min_shift: int = 5
     use_rand_aug: bool = False
+    drop_remainder: bool = True
 
     # --- TPU-native extension: compute [S,S] side inputs on device from
     # lengths instead of streaming them from host (the reference streams
