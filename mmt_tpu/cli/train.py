@@ -105,6 +105,42 @@ def main(argv=None):
 
     train_iter = itertools.chain([first], train_iter)
 
+    # Validation (train_and_eval / eval modes).
+    eval_fn = None
+    val_cfg = cfg.task.validation_data
+    if args.mode in ("train_and_eval", "eval") and val_cfg.input_path not in ("", "dummy"):
+        import numpy as np
+
+        from mmt_tpu.eval.metrics_host import auc_pr
+
+        eval_step = task.make_eval_step()
+        val_loader_cls = MmtPretrainLoader if is_pretraining else MmtClassificationLoader
+        max_steps = cfg.trainer.validation_steps
+
+        def eval_fn(state):
+            sums = {}
+            probs_all, labels_all, weights_all = [], [], []
+            for step_i, batch in enumerate(val_loader_cls(val_cfg).load()):
+                if max_steps > 0 and step_i >= max_steps:
+                    break
+                out = eval_step(state.params, batch)
+                metrics = out[0] if isinstance(out, tuple) else out
+                for name, (total, count) in metrics.items():
+                    prev = sums.get(name, (0.0, 0.0))
+                    sums[name] = (prev[0] + float(total), prev[1] + float(count))
+                if isinstance(out, tuple):
+                    probs_all.append(np.asarray(out[1]))
+                    labels_all.append(np.asarray(batch["label_ids"]))
+                    weights_all.append(np.asarray(batch["label_weights"]))
+            result = {n: (t / c if c else 0.0) for n, (t, c) in sums.items()}
+            if probs_all and not is_pretraining:
+                result["auc"] = auc_pr(
+                    np.concatenate(labels_all),
+                    np.concatenate(probs_all),
+                    np.concatenate(weights_all),
+                )
+            return result
+
     rng = jax.random.PRNGKey(args.seed)
     params = task.init(rng, jax.tree.map(lambda x: x, first))
     if cfg.task.init_checkpoint:
@@ -116,12 +152,20 @@ def main(argv=None):
     tx = create_optimizer(cfg.trainer.optimizer_config, cfg.trainer.train_steps)
     state = TrainState.create(params, tx)
 
+    if args.mode == "eval":
+        assert eval_fn is not None, "eval mode requires validation_data.input_path"
+        metrics = eval_fn(state)
+        logging.info("eval: %s", metrics)
+        print(metrics)
+        return
+
     run_training(
         train_step=train_step,
         state=state,
         train_iter=train_iter,
         trainer=cfg.trainer,
         model_dir=args.model_dir,
+        eval_fn=eval_fn,
         rng=rng,
         place_batch=functools.partial(shard_batch, mesh),
     )

@@ -108,8 +108,16 @@ class _BaseLoader:
                 ) else str(v)
 
         flip = bool(is_training and rng.random() > 0.5)
+        rand_aug_fn = None
+        if is_training and cfg.use_rand_aug and image_bytes is not None:
+            if not hasattr(self, "_rand_augment"):
+                from mmt_tpu.data.rand_augment import RandAugment
+
+                self._rand_augment = RandAugment(num_layers=1)
+            rand_aug_fn = lambda im: self._rand_augment(im, rng)  # noqa: E731
         return self.assembler.assemble(
-            image_bytes, text_fields or None, flip=flip, extras=extras
+            image_bytes, text_fields or None, flip=flip, rand_aug_fn=rand_aug_fn,
+            extras=extras,
         )
 
 
