@@ -107,7 +107,17 @@ def _build_tile_meta(
                 and qi * block_q < geo.image_len
                 and ki * block_k < geo.image_len
             )
-            meta[qi * nk + ki] = (lo, hi, has_img, 0)
+            # Tile kind: far-from-diagonal all-text tiles clip to a single
+            # id (0: right/id D, 1: left/id 2D) => rank-1 bias, no
+            # per-element work; kind 2 takes the general path.
+            all_text = qi * block_q >= geo.image_len and ki * block_k >= geo.image_len
+            if lo > hi and all_text and off_min > d:
+                kind = 0
+            elif lo > hi and all_text and off_max < -d:
+                kind = 1
+            else:
+                kind = 2
+            meta[qi * nk + ki] = (lo, hi, has_img, kind)
     return meta
 
 
@@ -180,81 +190,93 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
 
-        i_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        offs = j_pos - i_pos
-        text_pair = (
-            (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
-        )
+        kind = meta_ref[t, 3]
 
-        def tmask(x):
-            return jnp.where(text_pair, x, 0.0) if text_pair is not None else x
+        # Far all-text tiles (kind 0/1): every offset clips to one id =>
+        # bias is a single broadcast column, no per-element [bq,bk] work.
+        def far_bias(s):
+            is_right = (kind == 0).astype(qr.dtype)
+            col = qr[:, dtd] * is_right + qr[:, 2 * dtd] * (1.0 - is_right)
+            return s + col[:, None]
 
-        # Clipped constant zones: one id per side, masked rank-1 terms.
-        bias = tmask(
-            jnp.where(offs > dtd, qr[:, dtd][:, None], 0.0)
-            + jnp.where(offs < -dtd, qr[:, 2 * dtd][:, None], 0.0)
-        )
-
-        # Exact diagonal band: each offset in [-D, D] runs only in tiles
-        # whose (static, scalar-prefetched) offset range contains it --
-        # diagonal tiles see all 2D+1 offsets, adjacent tiles a corner
-        # sliver, everything else skips.  Band arithmetic in bfloat16
-        # (VPU 2x) -- the bias is small-magnitude and the final add is f32.
-        band_lo = meta_ref[t, 0]
-        band_hi = meta_ref[t, 1]
-
-        # Measured on v5e: a single gated loop beats both per-offset
-        # lax.cond gating (branch overhead) and bf16 band arithmetic
-        # (layout conversions) -- see BENCH notes in the repo docs.
-        def band_bias(bias):
-            add = jnp.zeros_like(bias)
-            for off_val in range(-dtd, dtd + 1):
-                vid = off_val if off_val >= 0 else dtd - off_val
-                add = add + jnp.where(offs == off_val, qr[:, vid][:, None], 0.0)
-            return bias + tmask(add)
-
-        bias = jax.lax.cond(band_lo <= band_hi, band_bias, lambda x: x, bias)
-
-        if img_len:
-            # 2D image-image block (single tile: P**2 <= block sizes).
-            def image_bias(bias):
-                ids2d = _image_ids_2d(i_pos, j_pos, geo)
-                add = jnp.zeros_like(bias)
-                for vid in range(min(geo.num_image_ids, rel_vocab)):
-                    add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
-                imask = (i_pos < img_len) & (j_pos < img_len)
-                return bias + jnp.where(imask, add, 0.0)
-
-            bias = jax.lax.cond(
-                meta_ref[t, 2] == 1, image_bias, lambda x: x, bias
+        # General tiles: masked rank-1 clip zones + gated diagonal band +
+        # (single tile) 2D image block.
+        def general_bias(s):
+            i_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            offs = j_pos - i_pos
+            text_pair = (
+                (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
             )
 
-            # Part-padding ids: zero bias when OOV (shipped configs);
-            # applied as masked rank-1 terms when the vocab covers them.
-            if geo.text_part_id < rel_vocab:
-                bias = bias + jnp.where(
-                    (i_pos < img_len) & (j_pos >= img_len),
-                    qr[:, geo.text_part_id][:, None],
-                    0.0,
-                )
-            if geo.image_part_id < rel_vocab:
-                bias = bias + jnp.where(
-                    (i_pos >= img_len) & (j_pos < img_len),
-                    qr[:, geo.image_part_id][:, None],
-                    0.0,
+            def tmask(x):
+                return jnp.where(text_pair, x, 0.0) if text_pair is not None else x
+
+            bias = tmask(
+                jnp.where(offs > dtd, qr[:, dtd][:, None], 0.0)
+                + jnp.where(offs < -dtd, qr[:, 2 * dtd][:, None], 0.0)
+            )
+
+            # Measured on v5e: a single gated loop beats both per-offset
+            # lax.cond gating (branch overhead) and bf16 band arithmetic
+            # (layout conversions).
+            band_lo = meta_ref[t, 0]
+            band_hi = meta_ref[t, 1]
+
+            def band_bias(bias):
+                add = jnp.zeros_like(bias)
+                for off_val in range(-dtd, dtd + 1):
+                    vid = off_val if off_val >= 0 else dtd - off_val
+                    add = add + jnp.where(offs == off_val, qr[:, vid][:, None], 0.0)
+                return bias + tmask(add)
+
+            bias = jax.lax.cond(band_lo <= band_hi, band_bias, lambda x: x, bias)
+
+            if img_len:
+                # 2D image-image block (single tile: P**2 <= block sizes).
+                def image_bias(bias):
+                    ids2d = _image_ids_2d(i_pos, j_pos, geo)
+                    add = jnp.zeros_like(bias)
+                    for vid in range(min(geo.num_image_ids, rel_vocab)):
+                        add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
+                    imask = (i_pos < img_len) & (j_pos < img_len)
+                    return bias + jnp.where(imask, add, 0.0)
+
+                bias = jax.lax.cond(
+                    meta_ref[t, 2] == 1, image_bias, lambda x: x, bias
                 )
 
-        s = s + bias
+                # Part-padding ids: zero bias when OOV (shipped configs);
+                # masked rank-1 terms when the vocab covers them.
+                if geo.text_part_id < rel_vocab:
+                    bias = bias + jnp.where(
+                        (i_pos < img_len) & (j_pos >= img_len),
+                        qr[:, geo.text_part_id][:, None],
+                        0.0,
+                    )
+                if geo.image_part_id < rel_vocab:
+                    bias = bias + jnp.where(
+                        (i_pos >= img_len) & (j_pos < img_len),
+                        qr[:, geo.image_part_id][:, None],
+                        0.0,
+                    )
+            return s + bias
+
+        s = jax.lax.cond(kind == 2, general_bias, far_bias, s)
 
     s = s * softmax_scale
 
     # In-kernel segmented padding mask from the example's real length.
     length = lengths_ref[b]
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    same_segment = (q_pos < length) == (k_pos < length)
-    s = s + jnp.where(same_segment, 0.0, NEG_INF)
+
+    def apply_length_mask(s):
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        same_segment = (q_pos < length) == (k_pos < length)
+        return s + jnp.where(same_segment, 0.0, NEG_INF)
+
+    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
+    s = jax.lax.cond(length < tile_end, apply_length_mask, lambda s: s, s)
 
     m_prev = m_scratch[:, 0]
     l_prev = l_scratch[:, 0]
