@@ -27,7 +27,10 @@ def parse_args(argv=None):
     p.add_argument("--experiment", required=True,
                    help="registry name, e.g. mmt/pretraining")
     p.add_argument("--mode", default="train",
-                   choices=["train", "train_and_eval", "eval"])
+                   choices=["train", "train_and_eval", "eval",
+                            "continuous_train_and_eval"])
+    # For continuous_train_and_eval: the pretraining model_dir to watch.
+    p.add_argument("--pretrain_model_dir", default="")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--config_file", action="append", default=[])
     p.add_argument("--params_override", default="")
@@ -157,6 +160,32 @@ def main(argv=None):
         metrics = eval_fn(state)
         logging.info("eval: %s", metrics)
         print(metrics)
+        return
+
+    if args.mode == "continuous_train_and_eval":
+        # Parity: reference --mode=continuous_train_and_eval
+        # (src/train.py:57-59 -> TFM continuous_finetune_lib).
+        from mmt_tpu.train.continuous import run_continuous_finetune
+
+        assert args.pretrain_model_dir, "--pretrain_model_dir required"
+
+        def make_state():
+            p = task.init(rng, first)
+            return TrainState.create(p, tx)
+
+        results = run_continuous_finetune(
+            pretrain_model_dir=args.pretrain_model_dir,
+            model_dir=args.model_dir,
+            make_state=make_state,
+            train_step=train_step,
+            train_iter_fn=lambda: batches,
+            eval_fn=eval_fn,
+            steps_per_checkpoint=cfg.trainer.train_steps,
+            rng=rng,
+            place_batch=functools.partial(shard_batch, mesh),
+            timeout_s=3600.0,
+        )
+        logging.info("continuous finetune results: %s", results)
         return
 
     run_training(
