@@ -111,7 +111,7 @@ def main(argv=None):
     # Validation (train_and_eval / eval modes).
     eval_fn = None
     val_cfg = cfg.task.validation_data
-    if args.mode in ("train_and_eval", "eval") and val_cfg.input_path not in ("", "dummy"):
+    if args.mode in ("train_and_eval", "eval", "continuous_train_and_eval") and val_cfg.input_path not in ("", "dummy"):
         import numpy as np
 
         from mmt_tpu.eval.metrics_host import auc_pr
