@@ -1,0 +1,169 @@
+"""TF object-checkpoint -> JAX param-tree converter.
+
+Lets users of the reference bring their trained checkpoints
+(``tf.train.Checkpoint(model=MmtPretrainingModel)`` object graphs; see
+reference ``src/prediction_helper.py:190-195``) into this framework.
+
+Strategy: read all variables with ``tf.train.load_checkpoint``, normalize
+the object paths, apply the documented rename rules for the encoder /
+heads, then resolve anything left by unique (path-suffix, shape) match.
+The converter is strict by default: it raises with a readable report of
+unmatched target parameters (the etcmodel-internal attribute names are
+best-effort -- extend ``extra_rules`` for checkpoints whose layer naming
+differs).
+
+Transpositions: TF Dense kernels are [in, out] like flax -- no transpose
+needed; DenseGeneral q/k/v kernels in this framework are
+[hidden, heads, head_dim] vs TF's [hidden, hidden] -- reshaped here.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("mmt_tpu")
+
+# (regex on normalized TF path) -> our flat path template.
+DEFAULT_RULES: List[Tuple[str, str]] = [
+    # --- encoder embeddings ---
+    (r"encoder/_?word_embedding_layer/embedding_table",
+     "encoder/word_embeddings/embedding_table"),
+    (r"encoder/_?word_embedding_layer/embedding_projection/kernel",
+     "encoder/word_embeddings/embedding_projection/kernel"),
+    (r"encoder/_?word_embedding_layer/embedding_projection/bias",
+     "encoder/word_embeddings/embedding_projection/bias"),
+    (r"encoder/_?segment_embedding_layer/embedding_table",
+     "encoder/segment_embeddings/embedding_table"),
+    (r"encoder/_?position_embedding_layer/embeddings",
+     "encoder/absolute_position_embeddings"),
+    (r"encoder/_?patch_embedding_projection/kernel",
+     "encoder/patch_embedding_projection/kernel"),
+    (r"encoder/_?patch_embedding_projection/bias",
+     "encoder/patch_embedding_projection/bias"),
+    (r"encoder/_?embedding_norm_layer/gamma",
+     "encoder/embeddings_layer_norm/scale"),
+    (r"encoder/_?embedding_norm_layer/beta",
+     "encoder/embeddings_layer_norm/bias"),
+    (r"encoder/_?pooler_layer/kernel", "encoder/pooler_transform/kernel"),
+    (r"encoder/_?pooler_layer/bias", "encoder/pooler_transform/bias"),
+]
+
+
+def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Reads every variable from a TF checkpoint into {normalized_path: array}."""
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(path)
+    out = {}
+    for key in reader.get_variable_to_shape_map():
+        if "optimizer" in key or key.startswith("_"):
+            continue
+        norm = key.replace("/.ATTRIBUTES/VARIABLE_VALUE", "")
+        norm = re.sub(r"^model/", "", norm)
+        out[norm] = reader.get_tensor(key)
+    return out
+
+
+def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    import flax
+
+    inner = tree["params"] if isinstance(tree, dict) and "params" in tree else tree
+    return flax.traverse_util.flatten_dict(inner)
+
+
+def convert_tf_checkpoint(
+    tf_vars: Dict[str, np.ndarray],
+    target_params,
+    extra_rules: Optional[List[Tuple[str, str]]] = None,
+    strict: bool = True,
+):
+    """Returns target_params with every matchable leaf replaced.
+
+    Matching passes: (1) rename rules, (2) unique suffix+shape match
+    (covers transformer-layer internals whose upstream attribute names
+    vary). Shapes are adapted for the q/k/v [H, H] -> [H, heads, dh]
+    reshape.
+    """
+    import flax
+
+    flat_target = _flatten(target_params)
+    rules = DEFAULT_RULES + (extra_rules or [])
+
+    assigned: Dict[Tuple[str, ...], np.ndarray] = {}
+    used_src = set()
+
+    def try_assign(tpath: Tuple[str, ...], value: np.ndarray, src: str) -> bool:
+        if tpath not in flat_target or tpath in assigned:
+            return False
+        want = flat_target[tpath]
+        if value.shape != want.shape:
+            if value.size == want.size:
+                value = value.reshape(want.shape)
+            else:
+                return False
+        assigned[tpath] = np.asarray(value, dtype=np.asarray(want).dtype)
+        used_src.add(src)
+        return True
+
+    # Pass 1: explicit rules.
+    for src, value in tf_vars.items():
+        for pattern, template in rules:
+            if re.fullmatch(pattern, src):
+                try_assign(tuple(template.split("/")), value, src)
+                break
+
+    # Pass 2: unique (suffix, shape) matching for the rest.
+    remaining_src = {k: v for k, v in tf_vars.items() if k not in used_src}
+    remaining_tgt = [p for p in flat_target if p not in assigned]
+
+    def suffix_tokens(path_str: str):
+        toks = [t.lstrip("_") for t in path_str.split("/")]
+        return toks
+
+    for src, value in sorted(remaining_src.items()):
+        stoks = suffix_tokens(src)
+        candidates = []
+        for tpath in remaining_tgt:
+            if tpath in assigned:
+                continue
+            want = flat_target[tpath]
+            if np.asarray(want).size != np.asarray(value).size:
+                continue
+            # score: count of shared trailing tokens (gamma/beta aliased).
+            alias = {"gamma": "scale", "beta": "bias", "kernel": "kernel"}
+            score = 0
+            for a, b in zip(reversed(stoks), reversed(tpath)):
+                if a == b or alias.get(a) == b:
+                    score += 1
+                else:
+                    break
+            if score:
+                candidates.append((score, tpath))
+        if candidates:
+            candidates.sort(reverse=True)
+            if len(candidates) == 1 or candidates[0][0] > candidates[1][0]:
+                try_assign(candidates[0][1], value, src)
+
+    missing = [p for p in flat_target if p not in assigned]
+    if missing:
+        msg = (
+            f"{len(missing)}/{len(flat_target)} target params unmatched, e.g. "
+            + ", ".join("/".join(p) for p in missing[:8])
+        )
+        if strict:
+            raise ValueError(
+                msg + "\nPass extra_rules=[(tf_path_regex, our_path), ...] or "
+                "strict=False to keep fresh inits for unmatched params."
+            )
+        logger.warning(msg)
+
+    merged = dict(flat_target)
+    merged.update(assigned)
+    tree = flax.traverse_util.unflatten_dict(merged)
+    if isinstance(target_params, dict) and "params" in target_params:
+        return {"params": tree}
+    return tree
