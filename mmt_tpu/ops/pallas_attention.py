@@ -1,35 +1,34 @@
-"""Fused Pallas TPU kernel: flash attention with ETC/MMT relative bias.
+"""Fused Pallas TPU kernels: flash attention with ETC/MMT relative bias.
 
 Replaces the reference's compute core (etcmodel
 ``RelativeTransformerLayers`` dense attention, call site
-``src/modeling/models/mmt_encoder.py:220-224``) with a TPU-native design:
+``src/modeling/models/mmt_encoder.py:220-224``) with a TPU-native design,
+forward AND backward (custom VJP), so both inference and training run
+fused at long sequence lengths:
 
 * Flash-style online softmax: K/V stream through VMEM tiles; the [S, S]
   logits matrix never exists in HBM.  At S=4096 this turns O(S^2) HBM
   traffic into O(S).
 * **No relative-id tensor exists anywhere**: the MMT id scheme (2D patch
   window + clipped 1D text + part padding) is a closed-form function of
-  positions, so the kernel regenerates ids from index arithmetic
-  (broadcasted iotas) only where they are needed:
-    - far-from-diagonal text pairs are *clipped* to a single id per side
-      (right -> D, left -> 2D) => two masked rank-1 bias terms, no loop;
-    - the exact |offset| <= D diagonal band exists only in tiles that
-      intersect it => a per-offset select-accumulate that runs under a
-      ``lax.cond`` gated by per-tile static band bounds (scalar
-      prefetched), so off-band tiles skip it entirely;
-    - the 2D image-image block lives in a single tile (P^2 <= block) and
-      is handled there under its own ``lax.cond`` with a select loop over
-      the small fine+direction vocabulary;
-    - part-padding ids (image->text, text->image) are OOV in the shipped
-      configs => exactly zero bias (one-hot semantics); when a config's
-      vocab does cover them, two more masked rank-1 terms apply them.
-* Padding masks are computed in-kernel from per-example lengths
-  (scalar-prefetched) with the reference's segmented semantics
-  (real<->real and pad<->pad attend); masked logits get the additive
-  -10000 used by the dense XLA path, keeping the two paths numerically
-  aligned.
+  positions, regenerated from index arithmetic only where needed:
+    - far all-text tiles clip to a single id => rank-1 bias, no
+      per-element work (tile kind 0/1, scalar-prefetched);
+    - the |offset| <= D diagonal band runs a per-offset select-accumulate
+      only in tiles that intersect it (gated by band bounds);
+    - the 2D image-image block lives in one tile (P^2 <= block);
+    - OOV part-padding ids => exactly zero bias (one-hot semantics);
+      in-vocab part ids => masked rank-1 terms.
+* Padding masks are computed in-kernel from per-example lengths with the
+  reference's segmented semantics; masked logits get the additive -10000
+  used by the dense XLA path (numerically aligned paths).
+* Backward: two kernels (dq+dRelTable with a per-(b,h) accumulator;
+  dk+dv with q streamed) recompute p from the saved logsumexp, mirroring
+  the forward bias structure; dRelTable flows through the same banded
+  decomposition (masked row-sums into a [bq, V_pad] dsv, then MXU
+  contractions).
 
-Numerics: logits, softmax statistics, and the accumulator are float32
+Numerics: logits, softmax statistics, and accumulators are float32
 regardless of input dtype (bfloat16 q/k/v supported).
 """
 
@@ -86,11 +85,11 @@ def _round_up(x: int, m: int) -> int:
 def _build_tile_meta(
     geo: RelGeometry, seq_len: int, block_q: int, block_k: int
 ) -> np.ndarray:
-    """Per-tile scalars: [T, 4] = (band_lo, band_hi, has_img, unused).
+    """Per-tile scalars: [T, 4] = (band_lo, band_hi, has_img, kind).
 
-    band_lo/hi bound the offsets (k - q) in [-D, D] that actually occur in
-    the tile; an empty band is (1, 0).  has_img marks tiles intersecting
-    the image-image block.
+    band_lo/hi bound the offsets (k - q) in [-D, D] occurring in the tile
+    (empty: (1, 0)); has_img marks the image-image tile; kind 0/1 are far
+    all-text tiles clipping right/left, kind 2 is the general path.
     """
     d = geo.text_max_distance
     nq, nk = seq_len // block_q, seq_len // block_k
@@ -107,9 +106,6 @@ def _build_tile_meta(
                 and qi * block_q < geo.image_len
                 and ki * block_k < geo.image_len
             )
-            # Tile kind: far-from-diagonal all-text tiles clip to a single
-            # id (0: right/id D, 1: left/id 2D) => rank-1 bias, no
-            # per-element work; kind 2 takes the general path.
             all_text = qi * block_q >= geo.image_len and ki * block_k >= geo.image_len
             if lo > hi and all_text and off_min > d:
                 kind = 0
@@ -144,25 +140,164 @@ def _image_ids_2d(i_pos, j_pos, geo: RelGeometry):
     return jnp.where(in_core, fine, coarse)
 
 
-def _kernel(
-    lengths_ref,  # SMEM <int32>[B]
-    meta_ref,  # SMEM <int32>[T, 4]
-    q_ref,  # VMEM [1, 1, bq, d]
-    k_ref,  # VMEM [1, 1, bk, d]
-    v_ref,  # VMEM [1, 1, bk, d]
-    *rest,  # (rel_ref [1, V_pad, d] if rel) then o_ref, m/l/acc scratches
-    geo: Optional[RelGeometry],
-    rel_vocab: int,
-    block_q: int,
-    block_k: int,
-    nk: int,
-    softmax_scale: float,
+def _clip_vid(off_val: int, dtd: int) -> int:
+    return off_val if off_val >= 0 else dtd - off_val
+
+
+def _tile_bias(qr, meta_ref, t, qi, ki, shape, geo, rel_vocab, block_q, block_k):
+    """Relative bias [bq, bk] for tile (qi, ki).  See module docstring."""
+    dtd = geo.text_max_distance
+    img_len = geo.image_len
+    kind = meta_ref[t, 3]
+
+    def far_bias():
+        is_right = (meta_ref[t, 3] == 0).astype(qr.dtype)
+        col = qr[:, dtd] * is_right + qr[:, 2 * dtd] * (1.0 - is_right)
+        return jnp.broadcast_to(col[:, None], shape)
+
+    def general_bias():
+        i_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        offs = j_pos - i_pos
+        text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
+
+        def tmask(x):
+            return jnp.where(text_pair, x, 0.0) if text_pair is not None else x
+
+        bias = tmask(
+            jnp.where(offs > dtd, qr[:, dtd][:, None], 0.0)
+            + jnp.where(offs < -dtd, qr[:, 2 * dtd][:, None], 0.0)
+        )
+
+        # Measured on v5e: a single gated loop beats per-offset lax.cond
+        # gating (branch overhead) and bf16 band math (layout conversions).
+        def band_bias(bias):
+            add = jnp.zeros_like(bias)
+            for off_val in range(-dtd, dtd + 1):
+                vid = _clip_vid(off_val, dtd)
+                add = add + jnp.where(offs == off_val, qr[:, vid][:, None], 0.0)
+            return bias + tmask(add)
+
+        bias = jax.lax.cond(
+            meta_ref[t, 0] <= meta_ref[t, 1], band_bias, lambda x: x, bias
+        )
+
+        if img_len:
+            def image_bias(bias):
+                ids2d = _image_ids_2d(i_pos, j_pos, geo)
+                add = jnp.zeros_like(bias)
+                for vid in range(min(geo.num_image_ids, rel_vocab)):
+                    add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
+                imask = (i_pos < img_len) & (j_pos < img_len)
+                return bias + jnp.where(imask, add, 0.0)
+
+            bias = jax.lax.cond(meta_ref[t, 2] == 1, image_bias, lambda x: x, bias)
+
+            if geo.text_part_id < rel_vocab:
+                bias = bias + jnp.where(
+                    (i_pos < img_len) & (j_pos >= img_len),
+                    qr[:, geo.text_part_id][:, None], 0.0,
+                )
+            if geo.image_part_id < rel_vocab:
+                bias = bias + jnp.where(
+                    (i_pos >= img_len) & (j_pos < img_len),
+                    qr[:, geo.image_part_id][:, None], 0.0,
+                )
+        return bias
+
+    return jax.lax.cond(kind == 2, general_bias, far_bias)
+
+
+def _tile_dsv(ds, meta_ref, t, qi, ki, v_pad, geo, rel_vocab, block_q, block_k):
+    """Backward of the bias gather: dsv[i, v] = sum_j ds[i, j] * [id(i,j)=v].
+
+    Mirrors ``_tile_bias`` structure: per-column contributions are masked
+    row-sums of ds scattered into lane v of a [bq, V_pad] accumulator.
+    """
+    dtd = geo.text_max_distance
+    img_len = geo.image_len
+    bq = ds.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, v_pad), 1)
+
+    def col(vid, rowsum):
+        return jnp.where(lane == vid, rowsum[:, None], 0.0)
+
+    def far_dsv():
+        rowsum = jnp.sum(ds, axis=1)
+        is_right = (meta_ref[t, 3] == 0).astype(ds.dtype)
+        return col(dtd, rowsum * is_right) + col(2 * dtd, rowsum * (1.0 - is_right))
+
+    def general_dsv():
+        i_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 0)
+        j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
+        offs = j_pos - i_pos
+        text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
+        ds_t = jnp.where(text_pair, ds, 0.0) if text_pair is not None else ds
+
+        dsv = col(dtd, jnp.sum(jnp.where(offs > dtd, ds_t, 0.0), axis=1))
+        dsv = dsv + col(
+            2 * dtd, jnp.sum(jnp.where(offs < -dtd, ds_t, 0.0), axis=1)
+        )
+
+        def band_dsv(dsv):
+            for off_val in range(-dtd, dtd + 1):
+                vid = _clip_vid(off_val, dtd)
+                dsv = dsv + col(
+                    vid, jnp.sum(jnp.where(offs == off_val, ds_t, 0.0), axis=1)
+                )
+            return dsv
+
+        dsv = jax.lax.cond(
+            meta_ref[t, 0] <= meta_ref[t, 1], band_dsv, lambda x: x, dsv
+        )
+
+        if img_len:
+            def image_dsv(dsv):
+                ids2d = _image_ids_2d(i_pos, j_pos, geo)
+                imask = (i_pos < img_len) & (j_pos < img_len)
+                ds_i = jnp.where(imask, ds, 0.0)
+                for vid in range(min(geo.num_image_ids, rel_vocab)):
+                    dsv = dsv + col(
+                        vid, jnp.sum(jnp.where(ids2d == vid, ds_i, 0.0), axis=1)
+                    )
+                return dsv
+
+            dsv = jax.lax.cond(meta_ref[t, 2] == 1, image_dsv, lambda x: x, dsv)
+
+            if geo.text_part_id < rel_vocab:
+                m = (i_pos < img_len) & (j_pos >= img_len)
+                dsv = dsv + col(
+                    geo.text_part_id, jnp.sum(jnp.where(m, ds, 0.0), axis=1)
+                )
+            if geo.image_part_id < rel_vocab:
+                m = (i_pos >= img_len) & (j_pos < img_len)
+                dsv = dsv + col(
+                    geo.image_part_id, jnp.sum(jnp.where(m, ds, 0.0), axis=1)
+                )
+        return dsv
+
+    return jax.lax.cond(meta_ref[t, 3] == 2, general_dsv, far_dsv)
+
+
+def _length_mask_term(length, qi, ki, shape, block_q, block_k):
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    same = (q_pos < length) == (k_pos < length)
+    return jnp.where(same, 0.0, NEG_INF)
+
+
+# ================================================================ forward
+
+
+def _fwd_kernel(
+    lengths_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
+    geo, rel_vocab, block_q, block_k, nk, softmax_scale,
 ):
     if rel_vocab:
-        rel_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
+        rel_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
         rel_ref = None
-        o_ref, m_scratch, l_scratch, acc_scratch = rest
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
 
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -175,108 +310,30 @@ def _kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0, 0]  # [bq, d]
-    k = k_ref[0, 0]  # [bk, d]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, bk]
+    )
 
     if rel_vocab:
-        dtd = geo.text_max_distance
-        img_len = geo.image_len
-        # [bq, V_pad] bias projection (one small MXU matmul).
         qr = jax.lax.dot_general(
             q, rel_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-        kind = meta_ref[t, 3]
-
-        # Far all-text tiles (kind 0/1): every offset clips to one id =>
-        # bias is a single broadcast column, no per-element [bq,bk] work.
-        def far_bias(s):
-            is_right = (kind == 0).astype(qr.dtype)
-            col = qr[:, dtd] * is_right + qr[:, 2 * dtd] * (1.0 - is_right)
-            return s + col[:, None]
-
-        # General tiles: masked rank-1 clip zones + gated diagonal band +
-        # (single tile) 2D image block.
-        def general_bias(s):
-            i_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            offs = j_pos - i_pos
-            text_pair = (
-                (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
-            )
-
-            def tmask(x):
-                return jnp.where(text_pair, x, 0.0) if text_pair is not None else x
-
-            bias = tmask(
-                jnp.where(offs > dtd, qr[:, dtd][:, None], 0.0)
-                + jnp.where(offs < -dtd, qr[:, 2 * dtd][:, None], 0.0)
-            )
-
-            # Measured on v5e: a single gated loop beats both per-offset
-            # lax.cond gating (branch overhead) and bf16 band arithmetic
-            # (layout conversions).
-            band_lo = meta_ref[t, 0]
-            band_hi = meta_ref[t, 1]
-
-            def band_bias(bias):
-                add = jnp.zeros_like(bias)
-                for off_val in range(-dtd, dtd + 1):
-                    vid = off_val if off_val >= 0 else dtd - off_val
-                    add = add + jnp.where(offs == off_val, qr[:, vid][:, None], 0.0)
-                return bias + tmask(add)
-
-            bias = jax.lax.cond(band_lo <= band_hi, band_bias, lambda x: x, bias)
-
-            if img_len:
-                # 2D image-image block (single tile: P**2 <= block sizes).
-                def image_bias(bias):
-                    ids2d = _image_ids_2d(i_pos, j_pos, geo)
-                    add = jnp.zeros_like(bias)
-                    for vid in range(min(geo.num_image_ids, rel_vocab)):
-                        add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
-                    imask = (i_pos < img_len) & (j_pos < img_len)
-                    return bias + jnp.where(imask, add, 0.0)
-
-                bias = jax.lax.cond(
-                    meta_ref[t, 2] == 1, image_bias, lambda x: x, bias
-                )
-
-                # Part-padding ids: zero bias when OOV (shipped configs);
-                # masked rank-1 terms when the vocab covers them.
-                if geo.text_part_id < rel_vocab:
-                    bias = bias + jnp.where(
-                        (i_pos < img_len) & (j_pos >= img_len),
-                        qr[:, geo.text_part_id][:, None],
-                        0.0,
-                    )
-                if geo.image_part_id < rel_vocab:
-                    bias = bias + jnp.where(
-                        (i_pos >= img_len) & (j_pos < img_len),
-                        qr[:, geo.image_part_id][:, None],
-                        0.0,
-                    )
-            return s + bias
-
-        s = jax.lax.cond(kind == 2, general_bias, far_bias, s)
+        s = s + _tile_bias(
+            qr, meta_ref, t, qi, ki, s.shape, geo, rel_vocab, block_q, block_k
+        )
 
     s = s * softmax_scale
 
-    # In-kernel segmented padding mask from the example's real length.
     length = lengths_ref[b]
 
-    def apply_length_mask(s):
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        same_segment = (q_pos < length) == (k_pos < length)
-        return s + jnp.where(same_segment, 0.0, NEG_INF)
+    def apply_mask(s):
+        return s + _length_mask_term(length, qi, ki, s.shape, block_q, block_k)
 
     tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
-    s = jax.lax.cond(length < tile_end, apply_length_mask, lambda s: s, s)
+    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
     m_prev = m_scratch[:, 0]
     l_prev = l_scratch[:, 0]
@@ -298,14 +355,446 @@ def _kernel(
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _finalize():
-        out = acc_scratch[...] / l_scratch[:, 0][:, None]
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        l_final = l_scratch[:, 0]
+        o_ref[0, 0] = (acc_scratch[...] / l_final[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, :, 0] = (m_scratch[:, 0] + jnp.log(l_final)).astype(
+            jnp.float32
+        )
+
+
+def _prepare(q, rel_table, geometry, block_q, block_k):
+    batch, seq_len, num_heads, head_dim = q.shape
+    block_q = min(block_q, seq_len)
+    block_k = min(block_k, seq_len)
+    if seq_len % block_q or seq_len % block_k:
+        raise ValueError(f"seq_len {seq_len} not divisible by {block_q}/{block_k}")
+    have_rel = rel_table is not None and geometry is not None
+    if have_rel and geometry.image_len > min(block_q, block_k):
+        raise ValueError(
+            f"image block ({geometry.image_len}) must fit in one tile "
+            f"({block_q}x{block_k})"
+        )
+    nq, nk = seq_len // block_q, seq_len // block_k
+    if have_rel:
+        rel_vocab = rel_table.shape[0]
+        v_pad = _round_up(rel_vocab, 128)
+        rel_h = jnp.pad(
+            rel_table.astype(q.dtype).transpose(1, 0, 2),
+            ((0, 0), (0, v_pad - rel_vocab), (0, 0)),
+        )  # [H, V_pad, head_dim]
+        meta = jnp.asarray(_build_tile_meta(geometry, seq_len, block_q, block_k))
+    else:
+        rel_vocab, v_pad, rel_h = 0, 0, None
+        meta = jnp.zeros((nq * nk, 4), jnp.int32)
+    return block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta
+
+
+def _im_q(b, h, qi, ki, *_):
+    return (b, h, qi, 0)
+
+
+def _im_k(b, h, qi, ki, *_):
+    return (b, h, ki, 0)
+
+
+def _attention_forward(q, k, v, rel_table, geometry, lengths,
+                       block_q, block_k, interpret):
+    batch, seq_len, num_heads, head_dim = q.shape
+    block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
+        q, rel_table, geometry, block_q, block_k
+    )
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), _im_q, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, head_dim), _im_k, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, head_dim), _im_k, memory_space=pltpu.VMEM),
+    ]
+    args = [qt, kt, vt]
+    if rel_vocab:
+        in_specs.append(
+            pl.BlockSpec((1, v_pad, head_dim), lambda b, h, qi, ki, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(rel_h)
+
+    kernel = functools.partial(
+        _fwd_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
+        block_q=block_q, block_k=block_k, nk=nk,
+        softmax_scale=1.0 / (head_dim**0.5),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, num_heads, nq, nk),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, head_dim), _im_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki, *_: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(qt.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), meta, *args)
+    return out.transpose(0, 2, 1, 3), lse
+
+
+# =============================================================== backward
+
+
+def _bwd_dq_kernel(
+    lengths_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+    geo, rel_vocab, v_pad, block_q, block_k, nk, softmax_scale,
+):
+    if rel_vocab:
+        rel_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc = rest
+    else:
+        rel_ref = None
+        (dq_ref, dq_acc) = rest
+
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    t = qi * nk + ki
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+        if rel_vocab:
+            dsv_acc[...] = jnp.zeros_like(dsv_acc)
+
+    if rel_vocab:
+        @pl.when((qi == 0) & (ki == 0))
+        def _init_dr():
+            dr_acc[...] = jnp.zeros_like(dr_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if rel_vocab:
+        qr = jax.lax.dot_general(
+            q, rel_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + _tile_bias(
+            qr, meta_ref, t, qi, ki, s.shape, geo, rel_vocab, block_q, block_k
+        )
+    s = s * softmax_scale
+    length = lengths_ref[b]
+
+    def apply_mask(s):
+        return s + _length_mask_term(length, qi, ki, s.shape, block_q, block_k)
+
+    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
+    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+
+    lse = lse_ref[0, 0, :, 0]  # [bq]
+    p = jnp.exp(s - lse[:, None])
+    do = do_ref[0, 0].astype(jnp.float32)
+    v_tile = v_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = delta_ref[0, 0, :, 0]  # [bq]
+    ds = p * (dp - delta[:, None])  # [bq, bk]
+
+    dq_acc[...] = dq_acc[...] + jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if rel_vocab:
+        dsv_acc[...] = dsv_acc[...] + _tile_dsv(
+            ds, meta_ref, t, qi, ki, v_pad, geo, rel_vocab, block_q, block_k
+        )
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _finalize():
+        dq = dq_acc[...]
+        if rel_vocab:
+            dq = dq + jax.lax.dot_general(
+                dsv_acc[...], rel_ref[0].astype(jnp.float32),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            dr_acc[...] = dr_acc[...] + jax.lax.dot_general(
+                dsv_acc[...], q.astype(jnp.float32),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) * softmax_scale
+        dq_ref[0, 0] = (dq * softmax_scale).astype(dq_ref.dtype)
+        if rel_vocab:
+            @pl.when(qi == pl.num_programs(2) - 1)
+            def _write_dr():
+                dr_ref[0, 0] = dr_acc[...]
+
+
+def _bwd_dkv_kernel(
+    lengths_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+    geo, rel_vocab, block_q, block_k, nk, softmax_scale,
+):
+    if rel_vocab:
+        rel_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        rel_ref = None
+        dk_ref, dv_ref, dk_acc, dv_acc = rest
+
+    b = pl.program_id(0)
+    ki = pl.program_id(2)  # outer: fixed k tile
+    qi = pl.program_id(3)  # inner: q streams
+    t = qi * nk + ki
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if rel_vocab:
+        qr = jax.lax.dot_general(
+            q, rel_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + _tile_bias(
+            qr, meta_ref, t, qi, ki, s.shape, geo, rel_vocab, block_q, block_k
+        )
+    s = s * softmax_scale
+    length = lengths_ref[b]
+
+    def apply_mask(s):
+        return s + _length_mask_term(length, qi, ki, s.shape, block_q, block_k)
+
+    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
+    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+
+    lse = lse_ref[0, 0, :, 0]
+    p = jnp.exp(s - lse[:, None])  # [bq, bk]
+    do = do_ref[0, 0].astype(jnp.float32)
+    v_tile = v_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = delta_ref[0, 0, :, 0]
+    ds = p * (dp - delta[:, None])
+
+    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == pl.num_programs(3) - 1)
+    def _finalize():
+        dk_ref[0, 0] = (dk_acc[...] * softmax_scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
+    q, k, v, rel_table, lengths, out, lse = residuals
+    batch, seq_len, num_heads, head_dim = q.shape
+    block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
+        q, rel_table, geometry, block_q, block_k
+    )
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = g.transpose(0, 2, 1, 3)
+    out_t = out.transpose(0, 2, 1, 3)
+    delta = jnp.einsum(
+        "bhsd,bhsd->bhs", dot.astype(jnp.float32), out_t.astype(jnp.float32)
+    )[..., None]
+
+    lengths_i = lengths.astype(jnp.int32)
+    scale = 1.0 / (head_dim**0.5)
+
+    qkv_spec_q = pl.BlockSpec((1, 1, block_q, head_dim), _im_q, memory_space=pltpu.VMEM)
+    qkv_spec_k = pl.BlockSpec((1, 1, block_k, head_dim), _im_k, memory_space=pltpu.VMEM)
+    vec_spec_q = pl.BlockSpec((1, 1, block_q, 1),
+                              lambda b, h, qi, ki, *_: (b, h, qi, 0),
+                              memory_space=pltpu.VMEM)
+    rel_spec = pl.BlockSpec((1, v_pad, head_dim), lambda b, h, qi, ki, *_: (h, 0, 0),
+                            memory_space=pltpu.VMEM) if rel_vocab else None
+
+    # ---- dq (+ dRel) ----
+    in_specs = [qkv_spec_q, qkv_spec_k, qkv_spec_k, qkv_spec_q, vec_spec_q, vec_spec_q]
+    args = [qt, kt, vt, dot, lse, delta]
+    if rel_vocab:
+        in_specs.append(rel_spec)
+        args.append(rel_h)
+        out_shape = (
+            jax.ShapeDtypeStruct(qt.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, v_pad, head_dim), jnp.float32),
+        )
+        out_specs = (
+            qkv_spec_q,
+            pl.BlockSpec((1, 1, v_pad, head_dim),
+                         lambda b, h, qi, ki, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        scratch = [
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+            pltpu.VMEM((block_q, v_pad), jnp.float32),
+            pltpu.VMEM((v_pad, head_dim), jnp.float32),
+        ]
+    else:
+        out_shape = jax.ShapeDtypeStruct(qt.shape, q.dtype)
+        out_specs = qkv_spec_q
+        scratch = [pltpu.VMEM((block_q, head_dim), jnp.float32)]
+
+    kernel = functools.partial(
+        _bwd_dq_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
+        v_pad=v_pad, block_q=block_q, block_k=block_k, nk=nk, softmax_scale=scale,
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, num_heads, nq, nk),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths_i, meta, *args)
+    if rel_vocab:
+        dq_t, dr_bh = res
+        drel = jnp.sum(dr_bh, axis=0)[:, :rel_vocab]  # [H, V, D]
+        drel = drel.transpose(1, 0, 2).astype(rel_table.dtype)
+    else:
+        dq_t, drel = res, None
+
+    # ---- dk, dv ----
+    def km(b, h, ki, qi, *_):
+        return (b, h, ki, 0)
+
+    def qm(b, h, ki, qi, *_):
+        return (b, h, qi, 0)
+
+    def vq(b, h, ki, qi, *_):
+        return (b, h, qi, 0)
+
+    in_specs2 = [
+        pl.BlockSpec((1, 1, block_q, head_dim), qm, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, head_dim), qm, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), vq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, 1), vq, memory_space=pltpu.VMEM),
+    ]
+    args2 = [qt, kt, vt, dot, lse, delta]
+    if rel_vocab:
+        in_specs2.append(
+            pl.BlockSpec((1, v_pad, head_dim), lambda b, h, ki, qi, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args2.append(rel_h)
+
+    # NOTE: in this kernel the grid is (b, h, ki, qi): tile index t = qi*nk+ki.
+    kernel2 = functools.partial(
+        _bwd_dkv_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
+        block_q=block_q, block_k=block_k, nk=nk, softmax_scale=scale,
+    )
+    dk_t, dv_t = pl.pallas_call(
+        kernel2,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, num_heads, nk, nq),
+            in_specs=in_specs2,
+            out_specs=(
+                pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, head_dim), jnp.float32),
+                pltpu.VMEM((block_k, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(kt.shape, k.dtype),
+            jax.ShapeDtypeStruct(vt.shape, v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths_i, meta, *args2)
+
+    dq = dq_t.transpose(0, 2, 1, 3)
+    dk = dk_t.transpose(0, 2, 1, 3)
+    dv = dv_t.transpose(0, 2, 1, 3)
+    dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, drel, dlengths
+
+
+# ============================================================ public API
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("geometry", "block_q", "block_k", "interpret"),
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
 )
+def _attention(q, k, v, rel_table, lengths, geometry, block_q, block_k, interpret):
+    out, _ = _attention_forward(
+        q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret
+    )
+    return out
+
+
+def _attention_fwd(q, k, v, rel_table, lengths, geometry, block_q, block_k, interpret):
+    out, lse = _attention_forward(
+        q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret
+    )
+    return out, (q, k, v, rel_table, lengths, out, lse)
+
+
+def _attention_bwd(geometry, block_q, block_k, interpret, residuals, g):
+    return _attention_backward(residuals, g, geometry, block_q, block_k, interpret)
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+)
+def _attention_norel(q, k, v, lengths, block_q, block_k, interpret):
+    out, _ = _attention_forward(q, k, v, None, None, lengths, block_q, block_k, interpret)
+    return out
+
+
+def _attention_norel_fwd(q, k, v, lengths, block_q, block_k, interpret):
+    out, lse = _attention_forward(q, k, v, None, None, lengths, block_q, block_k, interpret)
+    return out, (q, k, v, None, lengths, out, lse)
+
+
+def _attention_norel_bwd(block_q, block_k, interpret, residuals, g):
+    dq, dk, dv, _, dlengths = _attention_backward(
+        residuals, g, None, block_q, block_k, interpret
+    )
+    return dq, dk, dv, dlengths
+
+
+_attention_norel.defvjp(_attention_norel_fwd, _attention_norel_bwd)
+
+
 def pallas_relative_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -317,7 +806,7 @@ def pallas_relative_attention(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused relative attention.
+    """Fused, differentiable relative attention.
 
     Args:
       q, k, v: <float>[B, S, num_heads, head_dim].
@@ -332,91 +821,8 @@ def pallas_relative_attention(
     Returns:
       <q.dtype>[B, S, num_heads, head_dim].
     """
-    batch, seq_len, num_heads, head_dim = q.shape
-    block_q = min(block_q, seq_len)
-    block_k = min(block_k, seq_len)
-    if seq_len % block_q or seq_len % block_k:
-        raise ValueError(f"seq_len {seq_len} not divisible by {block_q}/{block_k}")
-
-    have_rel = rel_table is not None and geometry is not None
-    if have_rel and geometry.image_len > min(block_q, block_k):
-        raise ValueError(
-            f"image block ({geometry.image_len}) must fit in one tile "
-            f"({block_q}x{block_k})"
+    if rel_table is not None and geometry is not None:
+        return _attention(
+            q, k, v, rel_table, lengths, geometry, block_q, block_k, interpret
         )
-
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-
-    nq, nk = seq_len // block_q, seq_len // block_k
-    grid = (batch, num_heads, nq, nk)
-
-    if have_rel:
-        rel_vocab = rel_table.shape[0]
-        v_pad = _round_up(rel_vocab, 128)
-        rel_h = jnp.pad(
-            rel_table.astype(q.dtype).transpose(1, 0, 2),
-            ((0, 0), (0, v_pad - rel_vocab), (0, 0)),
-        )  # [H, V_pad, d]
-        meta = jnp.asarray(_build_tile_meta(geometry, seq_len, block_q, block_k))
-    else:
-        rel_vocab = 0
-        meta = jnp.zeros((nq * nk, 4), jnp.int32)
-
-    def im_q(b, h, qi, ki, *_):
-        return (b, h, qi, 0)
-
-    def im_k(b, h, qi, ki, *_):
-        return (b, h, ki, 0)
-
-    in_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), im_q, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, head_dim), im_k, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, head_dim), im_k, memory_space=pltpu.VMEM),
-    ]
-    args = [qt, kt, vt]
-    if have_rel:
-        in_specs.append(
-            pl.BlockSpec(
-                (1, rel_h.shape[1], head_dim),
-                lambda b, h, qi, ki, *_: (h, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(rel_h)
-
-    kernel = functools.partial(
-        _kernel,
-        geo=geometry if have_rel else None,
-        rel_vocab=rel_vocab,
-        block_q=block_q,
-        block_k=block_k,
-        nk=nk,
-        softmax_scale=1.0 / (head_dim**0.5),
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, head_dim), im_q,
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
-        ],
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(lengths.astype(jnp.int32), meta, *args)
-
-    return out.transpose(0, 2, 1, 3)
+    return _attention_norel(q, k, v, lengths, block_q, block_k, interpret)

@@ -1,0 +1,85 @@
+"""Gradient parity: Pallas custom VJP vs autodiff through the dense path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmt_tpu.ops.pallas_attention import RelGeometry, pallas_relative_attention
+from tests.test_pallas_attention import _ids_for, _rand_inputs, dense_reference
+
+
+def _grads(fn, args, diff_idx):
+    def loss(*diff_args):
+        full = list(args)
+        for i, a in zip(diff_idx, diff_args):
+            full[i] = a
+        out = fn(*full)
+        # Weighted sum as a scalar loss touching everything.
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape) * 1e-3
+        return jnp.sum(out * w)
+
+    return jax.grad(loss, argnums=tuple(range(len(diff_idx))))(
+        *[args[i] for i in diff_idx]
+    )
+
+
+def _compare(geo, B, S, H, D, V, lengths, block, atol=3e-4):
+    q, k, v, table = _rand_inputs(B, S, H, D, V, seed=3)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    ids = _ids_for(geo, S) if geo is not None else None
+
+    def dense_fn(q, k, v, table):
+        return dense_reference(q, k, v, table if geo else None, ids, lengths)
+
+    def pallas_fn(q, k, v, table):
+        return pallas_relative_attention(
+            q, k, v, table if geo else None, geo, lengths,
+            block_q=block, block_k=block, interpret=True,
+        )
+
+    args = (q, k, v, table)
+    want = _grads(dense_fn, args, (0, 1, 2, 3))
+    got = _grads(pallas_fn, args, (0, 1, 2, 3))
+    names = ["dq", "dk", "dv", "drel"]
+    for n, w, g in zip(names, want, got):
+        if geo is None and n == "drel":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=atol, rtol=atol, err_msg=n
+        )
+
+
+def test_grads_2d_geometry():
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=4, num_core_layers=1)
+    _compare(geo, B=2, S=128, H=2, D=16, V=24, lengths=[128, 100], block=64)
+
+
+def test_grads_2d_multi_tile_with_parts():
+    geo = RelGeometry(text_max_distance=3, num_patch_per_row=4, num_core_layers=1)
+    V = geo.text_part_id + 1  # parts in vocab -> cross-part grads too
+    _compare(geo, B=1, S=192, H=2, D=16, V=V, lengths=[160], block=64)
+
+
+def test_grads_1d_geometry():
+    geo = RelGeometry(text_max_distance=7)
+    _compare(geo, B=2, S=256, H=2, D=32, V=15, lengths=[256, 180], block=128)
+
+
+def test_grads_no_rel():
+    def dense_fn(q, k, v):
+        return dense_reference(q, k, v, None, None, lengths)
+
+    def pallas_fn(q, k, v):
+        return pallas_relative_attention(
+            q, k, v, None, None, lengths, block_q=64, block_k=64, interpret=True
+        )
+
+    q, k, v, _ = _rand_inputs(1, 128, 2, 16, 1, seed=5)
+    lengths = jnp.asarray([100], jnp.int32)
+    args = (q, k, v)
+    want = _grads(dense_fn, args, (0, 1, 2))
+    got = _grads(pallas_fn, args, (0, 1, 2))
+    for n, w, g in zip(["dq", "dk", "dv"], want, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=3e-4, rtol=3e-4, err_msg=n
+        )
