@@ -57,6 +57,11 @@ def main(argv=None):
 
     import jax
 
+    # Multi-host SPMD: one process per host (replaces the reference's
+    # TF_CONFIG cluster plumbing; src/distribute_utils.py:191-224).
+    if os.environ.get("MMT_MULTIHOST"):
+        jax.distributed.initialize()
+
     from mmt_tpu.configs.base import to_dict
     from mmt_tpu.configs.experiments import (
         ClassificationTaskConfig,
@@ -91,14 +96,18 @@ def main(argv=None):
         if data_cfg.input_path == "dummy":
             batches = dummy_pretrain_batches(data_cfg)
         else:
-            batches = MmtPretrainLoader(data_cfg).load()
+            batches = MmtPretrainLoader(data_cfg).load(
+                shard_index=jax.process_index(), num_shards=jax.process_count()
+            )
         train_step = task.make_train_step(
             mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size
         )
     else:
         assert isinstance(cfg.task, ClassificationTaskConfig)
         task = ClassificationTask(cfg.task, cfg.trainer)
-        batches = MmtClassificationLoader(data_cfg).load()
+        batches = MmtClassificationLoader(data_cfg).load(
+            shard_index=jax.process_index(), num_shards=jax.process_count()
+        )
         train_step = task.make_train_step(mesh=mesh)
 
     train_iter = iter(batches)

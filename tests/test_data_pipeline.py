@@ -224,3 +224,36 @@ class TestRetrievalLoader:
         assert len(batches) == 2
         assert batches[1]["valid"].sum() == 1
         assert np.all(batches[0]["label_ids"] == 1)  # paired: img==gt
+
+
+class TestDeterminism:
+    def test_same_seed_same_batches(self, tmp_path):
+        rng = np.random.default_rng(5)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "d.tfrecord"), 20, rng)
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=path, tasks="mlm,mpp",
+                          global_batch_size=8, mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+        b1 = next(iter(MmtPretrainLoader(cfg).load()))
+        b2 = next(iter(MmtPretrainLoader(cfg).load()))
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
+
+    def test_different_shards_different_data(self, tmp_path):
+        rng = np.random.default_rng(6)
+        vocab = make_vocab(tmp_path)
+        paths = [
+            write_records(str(tmp_path / f"s{i}.tfrecord"), 10, rng)
+            for i in range(2)
+        ]
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=",".join(paths), tasks="mlm",
+                          global_batch_size=4, mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+        loader = MmtPretrainLoader(cfg)
+        b0 = next(iter(loader.load(shard_index=0, num_shards=2)))
+        b1 = next(iter(loader.load(shard_index=1, num_shards=2)))
+        assert not np.array_equal(b0["word_ids"], b1["word_ids"])
