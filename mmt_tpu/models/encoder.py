@@ -177,7 +177,7 @@ class MmtEncoder(nn.Module):
         # from (geometry, lengths); only when the XLA path will run do we
         # materialize the static [S,S] id map and a dense mask.
         pallas_capable = (
-            cfg.attention_impl == "pallas"
+            cfg.attention_impl in ("pallas", "pallas_interpret")
             and (deterministic or cfg.attention_probs_dropout_prob == 0.0)
             and relative_att_ids is None
             and lengths is not None

@@ -96,9 +96,10 @@ class RelativeAttention(nn.Module):
 
         # The fused kernel regenerates ids in-kernel from the static
         # geometry; explicitly-supplied id tensors, or training with
-        # attention dropout, use the XLA path (whose grads XLA derives).
+        # attention dropout, use the XLA path.  "pallas_interpret" runs
+        # the kernel in interpreter mode (CPU-testable).
         use_pallas = (
-            self.attention_impl == "pallas"
+            self.attention_impl in ("pallas", "pallas_interpret")
             and lengths is not None
             and relative_att_ids is None
             and (deterministic or self.attention_dropout == 0.0)
@@ -120,6 +121,7 @@ class RelativeAttention(nn.Module):
                 lengths,
                 block_q=self.block_q,
                 block_k=self.block_k,
+                interpret=self.attention_impl == "pallas_interpret",
             )
         else:
             logits = relative_attention_scores(q, k, rel_table, relative_att_ids)

@@ -224,3 +224,59 @@ class TestModels:
         params = model.init(jax.random.PRNGKey(0), **inputs)
         out = model.apply(params, **inputs)
         assert out["itm_logits"].shape == (2, 2)
+
+
+class TestPallasModelPath:
+    def test_encoder_pallas_matches_xla(self):
+        """Full-model consistency: fused attention (interpret) == XLA path."""
+        rng = np.random.default_rng(0)
+        S, P, B = 16, 2, 2
+        inputs = dict(
+            word_ids=jnp.asarray(rng.integers(0, 60, (B, S)), jnp.int32),
+            segment_ids=jnp.asarray(rng.integers(1, 3, (B, S)), jnp.int32),
+            patch_embeddings=jnp.asarray(rng.normal(size=(B, 4, 12)), jnp.float32),
+            lengths=jnp.asarray([S, S - 5], jnp.int32),
+        )
+        cfg_xla = tiny_encoder_config(attention_block_q=8, attention_block_k=8)
+        enc_xla = MmtEncoder(cfg_xla, num_patch_per_row=P)
+        params = enc_xla.init(jax.random.PRNGKey(0), **inputs)
+        want = enc_xla.apply(params, **inputs)["sequence_output"]
+
+        cfg_pl = tiny_encoder_config(
+            attention_impl="pallas_interpret", attention_block_q=8,
+            attention_block_k=8,
+        )
+        enc_pl = MmtEncoder(cfg_pl, num_patch_per_row=P)
+        got = enc_pl.apply(params, **inputs)["sequence_output"]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5
+        )
+
+    def test_training_gradients_pallas_model(self):
+        """Grads flow through the fused kernel in a full model."""
+        rng = np.random.default_rng(1)
+        S, P, B = 16, 2, 2
+        inputs = dict(
+            word_ids=jnp.asarray(rng.integers(0, 60, (B, S)), jnp.int32),
+            patch_embeddings=jnp.asarray(rng.normal(size=(B, 4, 12)), jnp.float32),
+            lengths=jnp.full((B,), S, jnp.int32),
+        )
+        cfg = tiny_encoder_config(
+            attention_impl="pallas_interpret", attention_block_q=8,
+            attention_block_k=8,
+        )
+        enc = MmtEncoder(cfg, num_patch_per_row=2)
+        params = enc.init(jax.random.PRNGKey(0), **inputs)
+
+        def loss(p):
+            out = enc.apply(p, **inputs, deterministic=True)["sequence_output"]
+            return jnp.sum(out**2)
+
+        grads = jax.grad(loss)(params)
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(grads["params"])
+        rel_key = (
+            "transformer", "layer_0", "attention", "relative_emb_table",
+        )
+        assert float(jnp.sum(jnp.abs(flat[("encoder",) + rel_key] if ("encoder",) + rel_key in flat else flat[rel_key]))) > 0
