@@ -47,11 +47,21 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Dict:
+        """Restores a checkpoint; a template narrower than the on-disk tree
+        (e.g. params-only against a {params, opt_state} training ckpt, the
+        predict-after-train flow) restores just the requested subtree."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         if template is not None:
-            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+            try:
+                return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+            except ValueError:
+                # Narrower template than on disk (e.g. params-only vs a
+                # {params, opt_state} training checkpoint): restore the
+                # full tree untyped and take the requested subtrees.
+                full = self._mgr.restore(step)
+                return {k: full[k] for k in template}
         return self._mgr.restore(step)
 
 
