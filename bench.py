@@ -25,7 +25,7 @@ import sys
 import time
 
 SEQ_LEN = 4096
-BATCH = 8
+BATCH = 16
 CPU_BATCH = 1
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_baseline.json")

@@ -96,8 +96,13 @@ def main(argv=None):
         if data_cfg.input_path == "dummy":
             batches = dummy_pretrain_batches(data_cfg)
         else:
-            batches = MmtPretrainLoader(data_cfg).load(
-                shard_index=jax.process_index(), num_shards=jax.process_count()
+            from mmt_tpu.data.prefetch import multiprocess_batches
+
+            batches = multiprocess_batches(
+                lambda s, n: MmtPretrainLoader(data_cfg).load(s, n),
+                num_workers=data_cfg.num_workers,
+                base_shard=jax.process_index(),
+                total_shards=jax.process_count(),
             )
         train_step = task.make_train_step(
             mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size
@@ -105,8 +110,13 @@ def main(argv=None):
     else:
         assert isinstance(cfg.task, ClassificationTaskConfig)
         task = ClassificationTask(cfg.task, cfg.trainer)
-        batches = MmtClassificationLoader(data_cfg).load(
-            shard_index=jax.process_index(), num_shards=jax.process_count()
+        from mmt_tpu.data.prefetch import multiprocess_batches
+
+        batches = multiprocess_batches(
+            lambda s, n: MmtClassificationLoader(data_cfg).load(s, n),
+            num_workers=data_cfg.num_workers,
+            base_shard=jax.process_index(),
+            total_shards=jax.process_count(),
         )
         train_step = task.make_train_step(mesh=mesh)
 

@@ -52,6 +52,9 @@ class MmtDataConfig(Config):
     min_shift: int = 5
     use_rand_aug: bool = False
     drop_remainder: bool = True
+    # --- TPU-native extension: host input-pipeline worker processes
+    # (replaces tf.data's C++ thread pool; 0 = in-process).
+    num_workers: int = 0
 
     # --- TPU-native extension: compute [S,S] side inputs on device from
     # lengths instead of streaming them from host (the reference streams

@@ -257,3 +257,50 @@ class TestDeterminism:
         b0 = next(iter(loader.load(shard_index=0, num_shards=2)))
         b1 = next(iter(loader.load(shard_index=1, num_shards=2)))
         assert not np.array_equal(b0["word_ids"], b1["word_ids"])
+
+
+class TestMultiprocessLoader:
+    def test_parallel_matches_shard_union(self, tmp_path):
+        from mmt_tpu.data.prefetch import multiprocess_batches
+
+        rng = np.random.default_rng(9)
+        vocab = make_vocab(tmp_path)
+        paths = [
+            write_records(str(tmp_path / f"w{i}.tfrecord"), 12, rng)
+            for i in range(2)
+        ]
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=",".join(paths), tasks="mlm",
+                          is_training=False, global_batch_size=4,
+                          mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+
+        def loader_fn(shard, nshards):
+            return MmtPretrainLoader(cfg).load(shard, nshards)
+
+        parallel = list(multiprocess_batches(loader_fn, num_workers=2))
+        serial0 = list(loader_fn(0, 2))
+        serial1 = list(loader_fn(1, 2))
+        assert len(parallel) == len(serial0) + len(serial1)
+        # Same multiset of batches (order interleaved round-robin).
+        key = lambda b: b["word_ids"].tobytes()  # noqa: E731
+        assert sorted(key(b) for b in parallel) == sorted(
+            key(b) for b in serial0 + serial1
+        )
+
+    def test_zero_workers_passthrough(self, tmp_path):
+        from mmt_tpu.data.prefetch import multiprocess_batches
+
+        rng = np.random.default_rng(10)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "z.tfrecord"), 8, rng)
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=path, tasks="mlm",
+                          is_training=False, global_batch_size=4,
+                          mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+        out = list(multiprocess_batches(
+            lambda s, n: MmtPretrainLoader(cfg).load(s, n), num_workers=0))
+        assert len(out) == len(list(MmtPretrainLoader(cfg).load()))
