@@ -91,6 +91,72 @@ def build_retrieval(
     return meta
 
 
+def build_candidates(
+    txt_info_path, task, output_csv, num_queries=1000, pool_size=101, seed=0,
+    gt_dropout=0.011,
+):
+    """Builds an i2t/t2i candidate-pool CSV (metadata-notebook parity).
+
+    Reference pools (Fashion-BERT/Kaleido-BERT style): ``num_queries``
+    queries, each scored against ``pool_size`` candidates containing the
+    ground truth (a small fraction of pools lack it -> gt_image_index
+    -1, exercised by the recall code's missing-gt path).  Columns match
+    ``create_fashion_gen_retrieval_test_data.py``: image_id, desc,
+    image_index, text_index, gt_image_index.
+    """
+    import csv
+    import numpy as np
+
+    info = get_txt_info(txt_info_path)
+    image_ids = sorted(info)
+    rng = np.random.default_rng(seed)
+    queries = rng.choice(len(image_ids), size=min(num_queries, len(image_ids)),
+                         replace=False)
+
+    # A "product" is one (image, description) pair keyed by image_id.
+    # Rows pair the query product's image (i2t) or text (t2i) with each
+    # candidate product's text/image.
+    pairs = []  # (image_product, text_product)
+    for q in queries:
+        qid = image_ids[q]
+        drop_gt = rng.random() < gt_dropout
+        others = rng.choice(len(image_ids), size=pool_size + 1, replace=False)
+        pool = [image_ids[o] for o in others if image_ids[o] != qid]
+        pool = pool[: pool_size - (0 if drop_gt else 1)]
+        if not drop_gt:
+            pool.append(qid)
+        rng.shuffle(pool)
+        for cand in pool:
+            pairs.append((qid, cand) if task == "i2t" else (cand, qid))
+
+    image_index, text_index = {}, {}
+    for img, txt in pairs:
+        image_index.setdefault(img, len(image_index))
+        text_index.setdefault(txt, len(text_index))
+
+    rows = [
+        dict(
+            image_id=img,
+            desc=info[txt]["description"].decode("utf-8", "replace"),
+            image_index=image_index[img],
+            text_index=text_index[txt],
+            # A text's true image is its own product's image; -1 when that
+            # image does not appear in this pool file.
+            gt_image_index=image_index.get(txt, -1),
+        )
+        for img, txt in pairs
+    ]
+
+    with open(output_csv, "w", newline="") as f:
+        writer = csv.DictWriter(
+            f, fieldnames=["image_id", "desc", "image_index", "text_index",
+                           "gt_image_index"]
+        )
+        writer.writeheader()
+        writer.writerows(rows)
+    return len(rows)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -100,6 +166,14 @@ def main(argv=None):
     ps.add_argument("--images_dir", required=True)
     ps.add_argument("--output", required=True)
     ps.add_argument("--image_ext", default="png")
+
+    pc = sub.add_parser("candidates")
+    pc.add_argument("--txt_info", required=True)
+    pc.add_argument("--task", choices=["i2t", "t2i"], required=True)
+    pc.add_argument("--output_csv", required=True)
+    pc.add_argument("--num_queries", type=int, default=1000)
+    pc.add_argument("--pool_size", type=int, default=101)
+    pc.add_argument("--seed", type=int, default=0)
 
     pr = sub.add_parser("retrieval")
     pr.add_argument("--txt_info", required=True)
@@ -114,6 +188,12 @@ def main(argv=None):
     if args.cmd == "split":
         n = build_split(args.txt_info, args.images_dir, args.output, args.image_ext)
         print(f"wrote {n} examples to {args.output}")
+    elif args.cmd == "candidates":
+        n = build_candidates(
+            args.txt_info, args.task, args.output_csv,
+            num_queries=args.num_queries, pool_size=args.pool_size, seed=args.seed,
+        )
+        print(f"wrote {n} candidate pairs to {args.output_csv}")
     else:
         meta = build_retrieval(
             args.txt_info, args.images_dir, args.candidates_csv, args.task,

@@ -193,3 +193,41 @@ class TestPredictCli:
         with open(os.path.join(out_dir, "recall.json")) as f:
             recall = json.load(f)
         assert len(recall) == 8
+
+
+class TestFashionGenCandidates:
+    def test_candidate_pools(self, tmp_path):
+        from mmt_tpu.preprocessing.fashion_gen import build_candidates
+
+        info = tmp_path / "info.txt"
+        lines = []
+        for i in range(40):
+            lines.append(
+                "\x01".join(
+                    [f"main{i}", f"img{i}", "cat", "x", "subcat", "y",
+                     f"description of product {i}"]
+                )
+            )
+        info.write_text("\n".join(lines) + "\n")
+
+        csv_path = str(tmp_path / "i2t.csv")
+        n = build_candidates(str(info), "i2t", csv_path,
+                             num_queries=5, pool_size=11, seed=1)
+        import pandas as pd
+
+        df = pd.read_csv(csv_path)
+        assert len(df) == n
+        # 5 query images x 11 candidate texts each (minus rare gt dropout).
+        assert df["image_index"].nunique() == 5
+        per_query = df.groupby("image_index").size()
+        assert set(per_query) <= {10, 11}
+        # Each pool contains its ground truth (gt == the query image) at
+        # most once; missing gt -> -1 entries allowed.
+        hits = df[df["gt_image_index"] == df["image_index"]]
+        assert hits.groupby("image_index").size().max() == 1
+        # The recall computation consumes this CSV shape directly.
+        from mmt_tpu.eval.recall import get_recall_at_k_from_dataframe
+
+        df["output"] = (df["gt_image_index"] == df["image_index"]).astype(float)
+        recall = get_recall_at_k_from_dataframe(df)
+        assert recall["i2t @  1"] == "1.0000"  # oracle scores -> perfect recall

@@ -103,3 +103,43 @@ def test_direction_ids_production_geometry():
     # image_part/text_part for the shipped config.
     assert gen.image_part_id == 196 + 8 + 25
     assert gen.text_part_id == 196 + 8 + 25 + 1
+
+
+def _reference_base_tensor_algorithm(P, r, d_text):
+    """Literal numpy transcription of the reference's base-tensor + crop
+    algorithm (src/feature_utils.py:89-184), as an independent oracle."""
+    d = 2 * r + 1
+    n = P - r
+    m = P + r + 1
+    num_center = d * d
+    center = np.roll(np.arange(num_center), d * r + r).reshape(d, d)
+    base = np.pad(center, [(n, n), (n, n)])
+    directions = [
+        ((n, d), [(0, m), (n, n)]),   # top
+        ((n, n), [(0, m), (m, 0)]),   # top_right
+        ((d, n), [(n, n), (m, 0)]),   # right
+        ((n, n), [(m, 0), (m, 0)]),   # right_bottom
+        ((n, d), [(m, 0), (n, n)]),   # bottom
+        ((n, n), [(m, 0), (0, m)]),   # bottom_left
+        ((d, n), [(n, n), (0, m)]),   # left
+        ((n, n), [(0, m), (0, m)]),   # top_left
+    ]
+    for idx, (fill, pads) in enumerate(directions, start=d * d):
+        base = base + np.pad(np.full(fill, idx), pads)
+
+    crops = []
+    for x in range(P):
+        for y in range(P):
+            crops.append(base[P - x : 2 * P - x, P - y : 2 * P - y].reshape(-1))
+    return np.stack(crops)
+
+
+def test_closed_form_matches_reference_algorithm_sweep():
+    """Closed-form 2D ids == the reference's own algorithm for many (P, r)."""
+    for P, r in [(2, 1), (3, 1), (3, 2), (4, 1), (5, 2), (7, 3), (14, 1), (8, 4)]:
+        if r >= P:
+            continue
+        gen = MmtRelativePositionGenerator(P, r, 5)
+        got = gen.image_ids()
+        want = _reference_base_tensor_algorithm(P, r, 5)
+        np.testing.assert_array_equal(got, want, err_msg=f"P={P} r={r}")
