@@ -171,11 +171,17 @@ def _tile_bias(qr, meta_ref, t, qi, ki, shape, geo, rel_vocab, block_q, block_k)
 
         # Measured on v5e: a single gated loop beats per-offset lax.cond
         # gating (branch overhead) and bf16 band math (layout conversions).
+        # +/-d offsets are paired: one |offs| compare + a directional
+        # select between the two qr columns (fewer VPU passes; measured
+        # neutral at 4k -- Mosaic already fused the unpaired form well).
         def band_bias(bias):
-            add = jnp.zeros_like(bias)
-            for off_val in range(-dtd, dtd + 1):
-                vid = _clip_vid(off_val, dtd)
-                add = add + jnp.where(offs == off_val, qr[:, vid][:, None], 0.0)
+            abs_offs = jnp.abs(offs)
+            pos = offs > 0
+            add = jnp.where(offs == 0, qr[:, 0][:, None], 0.0)
+            for d_val in range(1, dtd + 1):
+                val = jnp.where(pos, qr[:, d_val][:, None],
+                                qr[:, dtd + d_val][:, None])
+                add = add + jnp.where(abs_offs == d_val, val, 0.0)
             return bias + tmask(add)
 
         bias = jax.lax.cond(
