@@ -117,6 +117,33 @@ def _build_tile_meta(
     return meta
 
 
+def _build_tile_meta_traced(geo, seq_q, seq_k, block_q, block_k, q_start):
+    """jnp version of _build_tile_meta for a traced global q offset
+    (sequence-sharded attention: each shard owns rows
+    [q_start, q_start + seq_q))."""
+    d = geo.text_max_distance
+    nq, nk = seq_q // block_q, seq_k // block_k
+    qi = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), nk)
+    ki = jnp.tile(jnp.arange(nk, dtype=jnp.int32), nq)
+    q0 = q_start + qi * block_q
+    off_min = ki * block_k - (q0 + block_q - 1)
+    off_max = ki * block_k + block_k - 1 - q0
+    lo = jnp.maximum(off_min, -d)
+    hi = jnp.minimum(off_max, d)
+    empty = lo > hi
+    lo = jnp.where(empty, 1, lo)
+    hi = jnp.where(empty, 0, hi)
+    img_len = geo.image_len
+    has_img = ((q0 < img_len) & (ki * block_k < img_len)).astype(jnp.int32) \
+        if img_len else jnp.zeros_like(qi)
+    all_text = (q0 >= img_len) & (ki * block_k >= img_len)
+    kind = jnp.where(
+        empty & all_text & (off_min > d), 0,
+        jnp.where(empty & all_text & (off_max < -d), 1, 2),
+    )
+    return jnp.stack([lo, hi, has_img, kind], axis=1).astype(jnp.int32)
+
+
 def _image_ids_2d(i_pos, j_pos, geo: RelGeometry):
     """Closed-form 2D patch relative ids (mmt_tpu.features.relative_position)."""
     p = geo.num_patch_per_row
@@ -144,8 +171,8 @@ def _clip_vid(off_val: int, dtd: int) -> int:
     return off_val if off_val >= 0 else dtd - off_val
 
 
-def _tile_bias(qr, meta_ref, t, qi, ki, shape, geo, rel_vocab, block_q, block_k):
-    """Relative bias [bq, bk] for tile (qi, ki).  See module docstring."""
+def _tile_bias(qr, meta_ref, t, q_base, ki, shape, geo, rel_vocab, block_q, block_k):
+    """Relative bias [bq, bk] for the tile starting at global row q_base."""
     dtd = geo.text_max_distance
     img_len = geo.image_len
     kind = meta_ref[t, 3]
@@ -156,7 +183,7 @@ def _tile_bias(qr, meta_ref, t, qi, ki, shape, geo, rel_vocab, block_q, block_k)
         return jnp.broadcast_to(col[:, None], shape)
 
     def general_bias():
-        i_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         offs = j_pos - i_pos
         text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
@@ -214,7 +241,7 @@ def _tile_bias(qr, meta_ref, t, qi, ki, shape, geo, rel_vocab, block_q, block_k)
     return jax.lax.cond(kind == 2, general_bias, far_bias)
 
 
-def _tile_dsv(ds, meta_ref, t, qi, ki, v_pad, geo, rel_vocab, block_q, block_k):
+def _tile_dsv(ds, meta_ref, t, q_base, ki, v_pad, geo, rel_vocab, block_q, block_k):
     """Backward of the bias gather: dsv[i, v] = sum_j ds[i, j] * [id(i,j)=v].
 
     Mirrors ``_tile_bias`` structure: per-column contributions are masked
@@ -234,7 +261,7 @@ def _tile_dsv(ds, meta_ref, t, qi, ki, v_pad, geo, rel_vocab, block_q, block_k):
         return col(dtd, rowsum * is_right) + col(2 * dtd, rowsum * (1.0 - is_right))
 
     def general_dsv():
-        i_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 0)
+        i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 0)
         j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
         offs = j_pos - i_pos
         text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
@@ -285,8 +312,8 @@ def _tile_dsv(ds, meta_ref, t, qi, ki, v_pad, geo, rel_vocab, block_q, block_k):
     return jax.lax.cond(meta_ref[t, 3] == 2, general_dsv, far_dsv)
 
 
-def _length_mask_term(length, qi, ki, shape, block_q, block_k):
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+def _length_mask_term(length, q_base, ki, shape, block_q, block_k):
+    q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     same = (q_pos < length) == (k_pos < length)
     return jnp.where(same, 0.0, NEG_INF)
@@ -296,7 +323,7 @@ def _length_mask_term(length, qi, ki, shape, block_q, block_k):
 
 
 def _fwd_kernel(
-    lengths_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
+    lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, softmax_scale,
 ):
     if rel_vocab:
@@ -322,13 +349,15 @@ def _fwd_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
+    q_base = qoff_ref[0] + qi * block_q
+
     if rel_vocab:
         qr = jax.lax.dot_general(
             q, rel_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, qi, ki, s.shape, geo, rel_vocab, block_q, block_k
+            qr, meta_ref, t, q_base, ki, s.shape, geo, rel_vocab, block_q, block_k
         )
 
     s = s * softmax_scale
@@ -336,9 +365,9 @@ def _fwd_kernel(
     length = lengths_ref[b]
 
     def apply_mask(s):
-        return s + _length_mask_term(length, qi, ki, s.shape, block_q, block_k)
+        return s + _length_mask_term(length, q_base, ki, s.shape, block_q, block_k)
 
-    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
+    tile_end = jnp.maximum(q_base + block_q, (ki + 1) * block_k)
     s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
     m_prev = m_scratch[:, 0]
@@ -368,19 +397,20 @@ def _fwd_kernel(
         )
 
 
-def _prepare(q, rel_table, geometry, block_q, block_k):
-    batch, seq_len, num_heads, head_dim = q.shape
-    block_q = min(block_q, seq_len)
-    block_k = min(block_k, seq_len)
-    if seq_len % block_q or seq_len % block_k:
-        raise ValueError(f"seq_len {seq_len} not divisible by {block_q}/{block_k}")
+def _prepare(q, k, rel_table, geometry, block_q, block_k, q_start=0):
+    batch, seq_q, num_heads, head_dim = q.shape
+    seq_k = k.shape[1]
+    block_q = min(block_q, seq_q)
+    block_k = min(block_k, seq_k)
+    if seq_q % block_q or seq_k % block_k:
+        raise ValueError(f"seq ({seq_q},{seq_k}) not divisible by {block_q}/{block_k}")
     have_rel = rel_table is not None and geometry is not None
     if have_rel and geometry.image_len > min(block_q, block_k):
         raise ValueError(
             f"image block ({geometry.image_len}) must fit in one tile "
             f"({block_q}x{block_k})"
         )
-    nq, nk = seq_len // block_q, seq_len // block_k
+    nq, nk = seq_q // block_q, seq_k // block_k
     if have_rel:
         rel_vocab = rel_table.shape[0]
         v_pad = _round_up(rel_vocab, 128)
@@ -388,7 +418,12 @@ def _prepare(q, rel_table, geometry, block_q, block_k):
             rel_table.astype(q.dtype).transpose(1, 0, 2),
             ((0, 0), (0, v_pad - rel_vocab), (0, 0)),
         )  # [H, V_pad, head_dim]
-        meta = jnp.asarray(_build_tile_meta(geometry, seq_len, block_q, block_k))
+        if isinstance(q_start, int) and q_start == 0 and seq_q == seq_k:
+            meta = jnp.asarray(_build_tile_meta(geometry, seq_q, block_q, block_k))
+        else:
+            meta = _build_tile_meta_traced(
+                geometry, seq_q, seq_k, block_q, block_k, q_start
+            )
     else:
         rel_vocab, v_pad, rel_h = 0, 0, None
         meta = jnp.zeros((nq * nk, 4), jnp.int32)
@@ -404,10 +439,10 @@ def _im_k(b, h, qi, ki, *_):
 
 
 def _attention_forward(q, k, v, rel_table, geometry, lengths,
-                       block_q, block_k, interpret):
+                       block_q, block_k, interpret, q_start=0):
     batch, seq_len, num_heads, head_dim = q.shape
     block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
-        q, rel_table, geometry, block_q, block_k
+        q, k, rel_table, geometry, block_q, block_k, q_start
     )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -431,8 +466,9 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
         block_q=block_q, block_k=block_k, nk=nk,
         softmax_scale=1.0 / (head_dim**0.5),
     )
+    qoff = jnp.full((1,), q_start, jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(batch, num_heads, nq, nk),
         in_specs=in_specs,
         out_specs=(
@@ -455,7 +491,7 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), meta, *args)
+    )(lengths.astype(jnp.int32), qoff, meta, *args)
     return out.transpose(0, 2, 1, 3), lse
 
 
@@ -499,13 +535,16 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, qi, ki, s.shape, geo, rel_vocab, block_q, block_k
+            qr, meta_ref, t, qi * block_q, ki, s.shape, geo, rel_vocab,
+            block_q, block_k,
         )
     s = s * softmax_scale
     length = lengths_ref[b]
 
     def apply_mask(s):
-        return s + _length_mask_term(length, qi, ki, s.shape, block_q, block_k)
+        return s + _length_mask_term(
+            length, qi * block_q, ki, s.shape, block_q, block_k
+        )
 
     tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
     s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
@@ -526,7 +565,8 @@ def _bwd_dq_kernel(
     )
     if rel_vocab:
         dsv_acc[...] = dsv_acc[...] + _tile_dsv(
-            ds, meta_ref, t, qi, ki, v_pad, geo, rel_vocab, block_q, block_k
+            ds, meta_ref, t, qi * block_q, ki, v_pad, geo, rel_vocab,
+            block_q, block_k,
         )
 
     @pl.when(ki == pl.num_programs(3) - 1)
@@ -579,13 +619,16 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, qi, ki, s.shape, geo, rel_vocab, block_q, block_k
+            qr, meta_ref, t, qi * block_q, ki, s.shape, geo, rel_vocab,
+            block_q, block_k,
         )
     s = s * softmax_scale
     length = lengths_ref[b]
 
     def apply_mask(s):
-        return s + _length_mask_term(length, qi, ki, s.shape, block_q, block_k)
+        return s + _length_mask_term(
+            length, qi * block_q, ki, s.shape, block_q, block_k
+        )
 
     tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
     s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
@@ -618,7 +661,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     q, k, v, rel_table, lengths, out, lse = residuals
     batch, seq_len, num_heads, head_dim = q.shape
     block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
-        q, rel_table, geometry, block_q, block_k
+        q, k, rel_table, geometry, block_q, block_k
     )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -832,3 +875,66 @@ def pallas_relative_attention(
             q, k, v, rel_table, lengths, geometry, block_q, block_k, interpret
         )
     return _attention_norel(q, k, v, lengths, block_q, block_k, interpret)
+
+
+def sequence_sharded_pallas_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_table: Optional[jnp.ndarray],
+    geometry: Optional[RelGeometry],
+    lengths: jnp.ndarray,
+    mesh,
+    seq_axis: str = "model",
+    batch_axis: Optional[str] = "data",
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sequence-sharded fused attention (forward): shard_map over the mesh.
+
+    Each shard owns a contiguous slice of query rows; K/V are
+    all-gathered over ICI inside the shard (one collective per layer) and
+    the kernel regenerates relative ids from *global* positions via a
+    traced q-offset and traced tile metadata.  This scales the fused
+    kernel past one chip's HBM for beyond-4k sequences (the GSPMD path
+    covers only the dense XLA attention).  Forward-only for now: training
+    at sharded lengths pairs this with gradient checkpointing or the XLA
+    path.
+
+    Args: as ``pallas_relative_attention``; q/k/v are *global* [B,S,H,D]
+    arrays laid out (batch_axis, seq_axis) on the mesh.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_seq = mesh.shape[seq_axis]
+    seq_len = q.shape[1]
+    if seq_len % n_seq:
+        raise ValueError(f"seq {seq_len} not divisible by {n_seq} shards")
+
+    def local_fn(q_l, k_l, v_l, lengths_l, *maybe_rel):
+        rel = maybe_rel[0] if maybe_rel else None
+        k_full = jax.lax.all_gather(k_l, seq_axis, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v_l, seq_axis, axis=1, tiled=True)
+        q_start = jax.lax.axis_index(seq_axis) * q_l.shape[1]
+        out, _ = _attention_forward(
+            q_l, k_full, v_full, rel, geometry, lengths_l,
+            block_q, block_k, interpret, q_start=q_start,
+        )
+        return out
+
+    spec = P(batch_axis, seq_axis, None, None)
+    in_specs = [spec, spec, spec, P(batch_axis)]
+    args = [q, k, v, lengths]
+    if rel_table is not None and geometry is not None:
+        in_specs.append(P(None, None, None))
+        args.append(rel_table)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=spec,
+        check_rep=False,
+    )(*args)
