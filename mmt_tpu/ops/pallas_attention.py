@@ -117,26 +117,28 @@ def _build_tile_meta(
     return meta
 
 
-def _build_tile_meta_traced(geo, seq_q, seq_k, block_q, block_k, q_start):
-    """jnp version of _build_tile_meta for a traced global q offset
-    (sequence-sharded attention: each shard owns rows
-    [q_start, q_start + seq_q))."""
+def _build_tile_meta_traced(geo, seq_q, seq_k, block_q, block_k, q_start,
+                            k_start=0):
+    """jnp version of _build_tile_meta for traced global q/k offsets
+    (sequence-sharded / ring attention: the shard owns rows
+    [q_start, q_start + seq_q) against keys [k_start, k_start + seq_k))."""
     d = geo.text_max_distance
     nq, nk = seq_q // block_q, seq_k // block_k
     qi = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), nk)
     ki = jnp.tile(jnp.arange(nk, dtype=jnp.int32), nq)
     q0 = q_start + qi * block_q
-    off_min = ki * block_k - (q0 + block_q - 1)
-    off_max = ki * block_k + block_k - 1 - q0
+    k0 = k_start + ki * block_k
+    off_min = k0 - (q0 + block_q - 1)
+    off_max = k0 + block_k - 1 - q0
     lo = jnp.maximum(off_min, -d)
     hi = jnp.minimum(off_max, d)
     empty = lo > hi
     lo = jnp.where(empty, 1, lo)
     hi = jnp.where(empty, 0, hi)
     img_len = geo.image_len
-    has_img = ((q0 < img_len) & (ki * block_k < img_len)).astype(jnp.int32) \
+    has_img = ((q0 < img_len) & (k0 < img_len)).astype(jnp.int32) \
         if img_len else jnp.zeros_like(qi)
-    all_text = (q0 >= img_len) & (ki * block_k >= img_len)
+    all_text = (q0 >= img_len) & (k0 >= img_len)
     kind = jnp.where(
         empty & all_text & (off_min > d), 0,
         jnp.where(empty & all_text & (off_max < -d), 1, 2),
@@ -171,7 +173,7 @@ def _clip_vid(off_val: int, dtd: int) -> int:
     return off_val if off_val >= 0 else dtd - off_val
 
 
-def _tile_bias(qr, meta_ref, t, q_base, ki, shape, geo, rel_vocab, block_q, block_k):
+def _tile_bias(qr, meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q, block_k):
     """Relative bias [bq, bk] for the tile starting at global row q_base."""
     dtd = geo.text_max_distance
     img_len = geo.image_len
@@ -184,7 +186,7 @@ def _tile_bias(qr, meta_ref, t, q_base, ki, shape, geo, rel_vocab, block_q, bloc
 
     def general_bias():
         i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         offs = j_pos - i_pos
         text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
 
@@ -241,7 +243,7 @@ def _tile_bias(qr, meta_ref, t, q_base, ki, shape, geo, rel_vocab, block_q, bloc
     return jax.lax.cond(kind == 2, general_bias, far_bias)
 
 
-def _tile_dsv(ds, meta_ref, t, q_base, ki, v_pad, geo, rel_vocab, block_q, block_k):
+def _tile_dsv(ds, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab, block_q, block_k):
     """Backward of the bias gather: dsv[i, v] = sum_j ds[i, j] * [id(i,j)=v].
 
     Mirrors ``_tile_bias`` structure: per-column contributions are masked
@@ -262,7 +264,7 @@ def _tile_dsv(ds, meta_ref, t, q_base, ki, v_pad, geo, rel_vocab, block_q, block
 
     def general_dsv():
         i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 0)
-        j_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
+        j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
         offs = j_pos - i_pos
         text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
         ds_t = jnp.where(text_pair, ds, 0.0) if text_pair is not None else ds
@@ -312,9 +314,9 @@ def _tile_dsv(ds, meta_ref, t, q_base, ki, v_pad, geo, rel_vocab, block_q, block
     return jax.lax.cond(meta_ref[t, 3] == 2, general_dsv, far_dsv)
 
 
-def _length_mask_term(length, q_base, ki, shape, block_q, block_k):
+def _length_mask_term(length, q_base, k_base, shape, block_q, block_k):
     q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     same = (q_pos < length) == (k_pos < length)
     return jnp.where(same, 0.0, NEG_INF)
 
@@ -350,6 +352,7 @@ def _fwd_kernel(
     )
 
     q_base = qoff_ref[0] + qi * block_q
+    k_base = qoff_ref[1] + ki * block_k
 
     if rel_vocab:
         qr = jax.lax.dot_general(
@@ -357,7 +360,8 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, q_base, ki, s.shape, geo, rel_vocab, block_q, block_k
+            qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
+            block_q, block_k,
         )
 
     s = s * softmax_scale
@@ -365,9 +369,11 @@ def _fwd_kernel(
     length = lengths_ref[b]
 
     def apply_mask(s):
-        return s + _length_mask_term(length, q_base, ki, s.shape, block_q, block_k)
+        return s + _length_mask_term(
+            length, q_base, k_base, s.shape, block_q, block_k
+        )
 
-    tile_end = jnp.maximum(q_base + block_q, (ki + 1) * block_k)
+    tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
     s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
     m_prev = m_scratch[:, 0]
@@ -397,7 +403,7 @@ def _fwd_kernel(
         )
 
 
-def _prepare(q, k, rel_table, geometry, block_q, block_k, q_start=0):
+def _prepare(q, k, rel_table, geometry, block_q, block_k, q_start=0, k_start=0):
     batch, seq_q, num_heads, head_dim = q.shape
     seq_k = k.shape[1]
     block_q = min(block_q, seq_q)
@@ -418,11 +424,15 @@ def _prepare(q, k, rel_table, geometry, block_q, block_k, q_start=0):
             rel_table.astype(q.dtype).transpose(1, 0, 2),
             ((0, 0), (0, v_pad - rel_vocab), (0, 0)),
         )  # [H, V_pad, head_dim]
-        if isinstance(q_start, int) and q_start == 0 and seq_q == seq_k:
+        static_offsets = (
+            isinstance(q_start, int) and q_start == 0
+            and isinstance(k_start, int) and k_start == 0
+        )
+        if static_offsets and seq_q == seq_k:
             meta = jnp.asarray(_build_tile_meta(geometry, seq_q, block_q, block_k))
         else:
             meta = _build_tile_meta_traced(
-                geometry, seq_q, seq_k, block_q, block_k, q_start
+                geometry, seq_q, seq_k, block_q, block_k, q_start, k_start
             )
     else:
         rel_vocab, v_pad, rel_h = 0, 0, None
@@ -439,10 +449,10 @@ def _im_k(b, h, qi, ki, *_):
 
 
 def _attention_forward(q, k, v, rel_table, geometry, lengths,
-                       block_q, block_k, interpret, q_start=0):
+                       block_q, block_k, interpret, q_start=0, k_start=0):
     batch, seq_len, num_heads, head_dim = q.shape
     block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
-        q, k, rel_table, geometry, block_q, block_k, q_start
+        q, k, rel_table, geometry, block_q, block_k, q_start, k_start
     )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -466,7 +476,9 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
         block_q=block_q, block_k=block_k, nk=nk,
         softmax_scale=1.0 / (head_dim**0.5),
     )
-    qoff = jnp.full((1,), q_start, jnp.int32)
+    qoff = jnp.stack(
+        [jnp.asarray(q_start, jnp.int32), jnp.asarray(k_start, jnp.int32)]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_heads, nq, nk),
@@ -535,7 +547,7 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, qi * block_q, ki, s.shape, geo, rel_vocab,
+            qr, meta_ref, t, qi * block_q, ki * block_k, s.shape, geo, rel_vocab,
             block_q, block_k,
         )
     s = s * softmax_scale
@@ -543,7 +555,7 @@ def _bwd_dq_kernel(
 
     def apply_mask(s):
         return s + _length_mask_term(
-            length, qi * block_q, ki, s.shape, block_q, block_k
+            length, qi * block_q, ki * block_k, s.shape, block_q, block_k
         )
 
     tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
@@ -565,7 +577,7 @@ def _bwd_dq_kernel(
     )
     if rel_vocab:
         dsv_acc[...] = dsv_acc[...] + _tile_dsv(
-            ds, meta_ref, t, qi * block_q, ki, v_pad, geo, rel_vocab,
+            ds, meta_ref, t, qi * block_q, ki * block_k, v_pad, geo, rel_vocab,
             block_q, block_k,
         )
 
@@ -619,7 +631,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, qi * block_q, ki, s.shape, geo, rel_vocab,
+            qr, meta_ref, t, qi * block_q, ki * block_k, s.shape, geo, rel_vocab,
             block_q, block_k,
         )
     s = s * softmax_scale
@@ -627,7 +639,7 @@ def _bwd_dkv_kernel(
 
     def apply_mask(s):
         return s + _length_mask_term(
-            length, qi * block_q, ki, s.shape, block_q, block_k
+            length, qi * block_q, ki * block_k, s.shape, block_q, block_k
         )
 
     tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
@@ -932,6 +944,91 @@ def sequence_sharded_pallas_attention(
         args.append(rel_table)
 
     return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=spec,
+        check_rep=False,
+    )(*args)
+
+
+def ring_sequence_sharded_pallas_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_table: Optional[jnp.ndarray],
+    geometry: Optional[RelGeometry],
+    lengths: jnp.ndarray,
+    mesh,
+    seq_axis: str = "model",
+    batch_axis: Optional[str] = "data",
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Ring-schedule sequence-sharded fused attention (forward).
+
+    Unlike ``sequence_sharded_pallas_attention`` (one K/V all-gather,
+    peak K/V memory O(S)), the ring keeps only one K/V *chunk* resident
+    per step (O(S / n)): each step attends the local queries to the held
+    chunk with exact global-position geometry (traced q/k offsets), then
+    `ppermute`s the chunk around the ring, combining partial outputs
+    through their logsumexps -- the flash combine, across devices.  XLA
+    overlaps the async collective permute with the next chunk's compute.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[seq_axis]
+    if q.shape[1] % n:
+        raise ValueError(f"seq {q.shape[1]} not divisible by {n} shards")
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def local_fn(q_l, k_l, v_l, lengths_l, *maybe_rel):
+        rel = maybe_rel[0] if maybe_rel else None
+        s_loc = q_l.shape[1]
+        my = jax.lax.axis_index(seq_axis)
+        q_start = my * s_loc
+
+        def step(carry, i):
+            out_acc, lse_acc, k_c, v_c = carry
+            # After i permutes we hold the chunk originally at (my - i).
+            k_start = ((my - i) % n) * s_loc
+            out_i, lse_i = _attention_forward(
+                q_l, k_c, v_c, rel, geometry, lengths_l,
+                block_q, block_k, interpret,
+                q_start=q_start, k_start=k_start,
+            )
+            lse_i = lse_i.transpose(0, 2, 1, 3)  # [B, S_loc, H, 1]
+            lse_new = jnp.logaddexp(lse_acc, lse_i)
+            out_new = (
+                jnp.exp(lse_acc - lse_new) * out_acc.astype(jnp.float32)
+                + jnp.exp(lse_i - lse_new) * out_i.astype(jnp.float32)
+            )
+            k_n = jax.lax.ppermute(k_c, seq_axis, perm)
+            v_n = jax.lax.ppermute(v_c, seq_axis, perm)
+            return (out_new.astype(q_l.dtype), lse_new, k_n, v_n), None
+
+        batch, _, num_heads, head_dim = q_l.shape
+        init = (
+            jnp.zeros((batch, s_loc, num_heads, head_dim), q_l.dtype),
+            jnp.full((batch, s_loc, num_heads, 1), -jnp.inf, jnp.float32),
+            k_l,
+            v_l,
+        )
+        (out, _, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
+        return out
+
+    spec = P(batch_axis, seq_axis, None, None)
+    in_specs = [spec, spec, spec, P(batch_axis)]
+    args = [q, k, v, lengths]
+    if rel_table is not None and geometry is not None:
+        in_specs.append(P(None, None, None))
+        args.append(rel_table)
+
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),

@@ -148,3 +148,26 @@ def test_sequence_sharded_no_rel():
             )
         )(q, k, v, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_ring_sharded_matches_unsharded():
+    """Ring-schedule seq sharding (4 chunks) == single-device kernel."""
+    from mmt_tpu.ops.pallas_attention import ring_sequence_sharded_pallas_attention
+    from mmt_tpu.parallel import create_mesh
+
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=4, num_core_layers=1)
+    B, S, H, D, V = 2, 256, 2, 16, 24
+    q, k, v, table = _rand_inputs(B, S, H, D, V, seed=13)
+    lengths = jnp.asarray([256, 190], jnp.int32)
+    want = pallas_relative_attention(
+        q, k, v, table, geo, lengths, block_q=64, block_k=64, interpret=True
+    )
+    mesh = create_mesh(num_data=2, num_model=4)
+    with mesh:
+        got = jax.jit(
+            lambda q, k, v, t, ln: ring_sequence_sharded_pallas_attention(
+                q, k, v, t, geo, ln, mesh=mesh, block_q=32, block_k=32,
+                interpret=True,
+            )
+        )(q, k, v, table, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
