@@ -511,7 +511,8 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
 
 
 def _bwd_dq_kernel(
-    lengths_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+    lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+    delta_ref, *rest,
     geo, rel_vocab, v_pad, block_q, block_k, nk, softmax_scale,
 ):
     if rel_vocab:
@@ -547,7 +548,7 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, qi * block_q, ki * block_k, s.shape, geo, rel_vocab,
+            qr, meta_ref, t, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, geo, rel_vocab,
             block_q, block_k,
         )
     s = s * softmax_scale
@@ -555,10 +556,12 @@ def _bwd_dq_kernel(
 
     def apply_mask(s):
         return s + _length_mask_term(
-            length, qi * block_q, ki * block_k, s.shape, block_q, block_k
+            length, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, block_q, block_k
         )
 
-    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
+    tile_end = jnp.maximum(
+        qoff_ref[0] + (qi + 1) * block_q, qoff_ref[1] + (ki + 1) * block_k
+    )
     s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
     lse = lse_ref[0, 0, :, 0]  # [bq]
@@ -577,7 +580,7 @@ def _bwd_dq_kernel(
     )
     if rel_vocab:
         dsv_acc[...] = dsv_acc[...] + _tile_dsv(
-            ds, meta_ref, t, qi * block_q, ki * block_k, v_pad, geo, rel_vocab,
+            ds, meta_ref, t, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, v_pad, geo, rel_vocab,
             block_q, block_k,
         )
 
@@ -601,7 +604,8 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    lengths_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *rest,
+    lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+    delta_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, softmax_scale,
 ):
     if rel_vocab:
@@ -631,7 +635,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + _tile_bias(
-            qr, meta_ref, t, qi * block_q, ki * block_k, s.shape, geo, rel_vocab,
+            qr, meta_ref, t, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, geo, rel_vocab,
             block_q, block_k,
         )
     s = s * softmax_scale
@@ -639,10 +643,12 @@ def _bwd_dkv_kernel(
 
     def apply_mask(s):
         return s + _length_mask_term(
-            length, qi * block_q, ki * block_k, s.shape, block_q, block_k
+            length, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, block_q, block_k
         )
 
-    tile_end = jnp.maximum((qi + 1) * block_q, (ki + 1) * block_k)
+    tile_end = jnp.maximum(
+        qoff_ref[0] + (qi + 1) * block_q, qoff_ref[1] + (ki + 1) * block_k
+    )
     s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
     lse = lse_ref[0, 0, :, 0]
@@ -670,10 +676,11 @@ def _bwd_dkv_kernel(
 
 
 def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
-    q, k, v, rel_table, lengths, out, lse = residuals
+    q, k, v, rel_table, lengths, qk_offsets, out, lse = residuals
     batch, seq_len, num_heads, head_dim = q.shape
+    q_start, k_start = qk_offsets[0], qk_offsets[1]
     block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
-        q, k, rel_table, geometry, block_q, block_k
+        q, k, rel_table, geometry, block_q, block_k, q_start, k_start
     )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -685,6 +692,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     )[..., None]
 
     lengths_i = lengths.astype(jnp.int32)
+    qoff = qk_offsets.astype(jnp.int32)
     scale = 1.0 / (head_dim**0.5)
 
     qkv_spec_q = pl.BlockSpec((1, 1, block_q, head_dim), _im_q, memory_space=pltpu.VMEM)
@@ -728,7 +736,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(batch, num_heads, nq, nk),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -737,7 +745,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lengths_i, meta, *args)
+    )(lengths_i, qoff, meta, *args)
     if rel_vocab:
         dq_t, dr_bh = res
         drel = jnp.sum(dr_bh, axis=0)[:, :rel_vocab]  # [H, V, D]
@@ -779,7 +787,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     dk_t, dv_t = pl.pallas_call(
         kernel2,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(batch, num_heads, nk, nq),
             in_specs=in_specs2,
             out_specs=(
@@ -797,33 +805,38 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(lengths_i, meta, *args2)
+    )(lengths_i, qoff, meta, *args2)
 
     dq = dq_t.transpose(0, 2, 1, 3)
     dk = dk_t.transpose(0, 2, 1, 3)
     dv = dv_t.transpose(0, 2, 1, 3)
     dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
-    return dq, dk, dv, drel, dlengths
+    doffs = np.zeros(qk_offsets.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, drel, dlengths, doffs
 
 
 # ============================================================ public API
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9)
 )
-def _attention(q, k, v, rel_table, lengths, geometry, block_q, block_k, interpret):
+def _attention(q, k, v, rel_table, lengths, qk_offsets, geometry, block_q,
+               block_k, interpret):
     out, _ = _attention_forward(
-        q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret
+        q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret,
+        q_start=qk_offsets[0], k_start=qk_offsets[1],
     )
     return out
 
 
-def _attention_fwd(q, k, v, rel_table, lengths, geometry, block_q, block_k, interpret):
+def _attention_fwd(q, k, v, rel_table, lengths, qk_offsets, geometry, block_q,
+                   block_k, interpret):
     out, lse = _attention_forward(
-        q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret
+        q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret,
+        q_start=qk_offsets[0], k_start=qk_offsets[1],
     )
-    return out, (q, k, v, rel_table, lengths, out, lse)
+    return out, (q, k, v, rel_table, lengths, qk_offsets, out, lse)
 
 
 def _attention_bwd(geometry, block_q, block_k, interpret, residuals, g):
@@ -834,23 +847,29 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7)
 )
-def _attention_norel(q, k, v, lengths, block_q, block_k, interpret):
-    out, _ = _attention_forward(q, k, v, None, None, lengths, block_q, block_k, interpret)
+def _attention_norel(q, k, v, lengths, qk_offsets, block_q, block_k, interpret):
+    out, _ = _attention_forward(
+        q, k, v, None, None, lengths, block_q, block_k, interpret,
+        q_start=qk_offsets[0], k_start=qk_offsets[1],
+    )
     return out
 
 
-def _attention_norel_fwd(q, k, v, lengths, block_q, block_k, interpret):
-    out, lse = _attention_forward(q, k, v, None, None, lengths, block_q, block_k, interpret)
-    return out, (q, k, v, None, lengths, out, lse)
+def _attention_norel_fwd(q, k, v, lengths, qk_offsets, block_q, block_k, interpret):
+    out, lse = _attention_forward(
+        q, k, v, None, None, lengths, block_q, block_k, interpret,
+        q_start=qk_offsets[0], k_start=qk_offsets[1],
+    )
+    return out, (q, k, v, None, lengths, qk_offsets, out, lse)
 
 
 def _attention_norel_bwd(block_q, block_k, interpret, residuals, g):
-    dq, dk, dv, _, dlengths = _attention_backward(
+    dq, dk, dv, _, dlengths, doffs = _attention_backward(
         residuals, g, None, block_q, block_k, interpret
     )
-    return dq, dk, dv, dlengths
+    return dq, dk, dv, dlengths, doffs
 
 
 _attention_norel.defvjp(_attention_norel_fwd, _attention_norel_bwd)
@@ -882,11 +901,13 @@ def pallas_relative_attention(
     Returns:
       <q.dtype>[B, S, num_heads, head_dim].
     """
+    zero_offs = jnp.zeros((2,), jnp.int32)
     if rel_table is not None and geometry is not None:
         return _attention(
-            q, k, v, rel_table, lengths, geometry, block_q, block_k, interpret
+            q, k, v, rel_table, lengths, zero_offs, geometry, block_q, block_k,
+            interpret,
         )
-    return _attention_norel(q, k, v, lengths, block_q, block_k, interpret)
+    return _attention_norel(q, k, v, lengths, zero_offs, block_q, block_k, interpret)
 
 
 def sequence_sharded_pallas_attention(
@@ -926,15 +947,20 @@ def sequence_sharded_pallas_attention(
         raise ValueError(f"seq {seq_len} not divisible by {n_seq} shards")
 
     def local_fn(q_l, k_l, v_l, lengths_l, *maybe_rel):
-        rel = maybe_rel[0] if maybe_rel else None
         k_full = jax.lax.all_gather(k_l, seq_axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v_l, seq_axis, axis=1, tiled=True)
         q_start = jax.lax.axis_index(seq_axis) * q_l.shape[1]
-        out, _ = _attention_forward(
-            q_l, k_full, v_full, rel, geometry, lengths_l,
-            block_q, block_k, interpret, q_start=q_start,
+        offs = jnp.stack([q_start.astype(jnp.int32), jnp.int32(0)])
+        if maybe_rel:
+            # Differentiable: custom-VJP kernel; all_gather transposes to
+            # reduce-scatter, replicated rel_table grads psum automatically.
+            return _attention(
+                q_l, k_full, v_full, maybe_rel[0], lengths_l, offs,
+                geometry, block_q, block_k, interpret,
+            )
+        return _attention_norel(
+            q_l, k_full, v_full, lengths_l, offs, block_q, block_k, interpret
         )
-        return out
 
     spec = P(batch_axis, seq_axis, None, None)
     in_specs = [spec, spec, spec, P(batch_axis)]
