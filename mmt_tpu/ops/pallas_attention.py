@@ -1001,6 +1001,13 @@ def ring_sequence_sharded_pallas_attention(
     `ppermute`s the chunk around the ring, combining partial outputs
     through their logsumexps -- the flash combine, across devices.  XLA
     overlaps the async collective permute with the next chunk's compute.
+
+    Differentiable: the backward rides the ring too -- each step runs the
+    per-chunk fused backward against the *global* logsumexp (which makes
+    the chunk-local softmax recompute exact), dQ accumulates locally, and
+    dK/dV accumulators travel with their chunks, arriving home after n
+    permutes; the relative-table gradient accumulates locally and psums
+    through the shard_map transpose.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -1010,10 +1017,8 @@ def ring_sequence_sharded_pallas_attention(
         raise ValueError(f"seq {q.shape[1]} not divisible by {n} shards")
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def local_fn(q_l, k_l, v_l, lengths_l, *maybe_rel):
-        rel = maybe_rel[0] if maybe_rel else None
+    def _ring_forward(q_l, k_c0, v_c0, rel, lengths_l, my):
         s_loc = q_l.shape[1]
-        my = jax.lax.axis_index(seq_axis)
         q_start = my * s_loc
 
         def step(carry, i):
@@ -1039,11 +1044,78 @@ def ring_sequence_sharded_pallas_attention(
         init = (
             jnp.zeros((batch, s_loc, num_heads, head_dim), q_l.dtype),
             jnp.full((batch, s_loc, num_heads, 1), -jnp.inf, jnp.float32),
+            k_c0,
+            v_c0,
+        )
+        (out, lse, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
+        return out, lse
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def _ring(q_l, k_l, v_l, rel, lengths_l, my):
+        out, _ = _ring_forward(q_l, k_l, v_l, rel, lengths_l, my)
+        return out
+
+    def _ring_fwd(q_l, k_l, v_l, rel, lengths_l, my):
+        out, lse = _ring_forward(q_l, k_l, v_l, rel, lengths_l, my)
+        return out, (q_l, k_l, v_l, rel, lengths_l, my, out, lse)
+
+    def _ring_bwd(res, g):
+        q_l, k_l, v_l, rel, lengths_l, my, out, lse = res
+        s_loc = q_l.shape[1]
+        q_start = my * s_loc
+        # Global logsumexp makes the per-chunk backward exact: p_chunk =
+        # exp(s_chunk - lse_global).  dK/dV accumulators travel the ring
+        # with their chunks and are home after n permutes.
+        lse_bhs1 = lse.transpose(0, 2, 1, 3)  # [B, H, S_loc, 1]
+
+        def step(carry, i):
+            dq_acc, drel_acc, k_c, v_c, dk_acc, dv_acc = carry
+            k_start = ((my - i) % n) * s_loc
+            offs = jnp.stack(
+                [q_start.astype(jnp.int32), k_start.astype(jnp.int32)]
+            )
+            residuals = (q_l, k_c, v_c, rel, lengths_l, offs, out, lse_bhs1)
+            grads = _attention_backward(
+                residuals, g, geometry, block_q, block_k, interpret
+            )
+            dq_i, dk_c, dv_c, drel_i = grads[0], grads[1], grads[2], grads[3]
+            dq_acc = dq_acc + dq_i.astype(jnp.float32)
+            if drel_acc is not None:
+                drel_acc = drel_acc + drel_i.astype(jnp.float32)
+            dk_acc = dk_acc + dk_c.astype(jnp.float32)
+            dv_acc = dv_acc + dv_c.astype(jnp.float32)
+            k_n = jax.lax.ppermute(k_c, seq_axis, perm)
+            v_n = jax.lax.ppermute(v_c, seq_axis, perm)
+            dk_n = jax.lax.ppermute(dk_acc, seq_axis, perm)
+            dv_n = jax.lax.ppermute(dv_acc, seq_axis, perm)
+            return (dq_acc, drel_acc, k_n, v_n, dk_n, dv_n), None
+
+        init = (
+            jnp.zeros(q_l.shape, jnp.float32),
+            jnp.zeros(rel.shape, jnp.float32) if rel is not None else None,
             k_l,
             v_l,
+            jnp.zeros(k_l.shape, jnp.float32),
+            jnp.zeros(v_l.shape, jnp.float32),
         )
-        (out, _, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
-        return out
+        (dq, drel, _, _, dk, dv), _ = jax.lax.scan(step, init, jnp.arange(n))
+        dlen = np.zeros(lengths_l.shape, dtype=jax.dtypes.float0)
+        dmy = np.zeros(my.shape, dtype=jax.dtypes.float0)
+        return (
+            dq.astype(q_l.dtype),
+            dk.astype(k_l.dtype),
+            dv.astype(v_l.dtype),
+            drel.astype(rel.dtype) if rel is not None else None,
+            dlen,
+            dmy,
+        )
+
+    _ring.defvjp(_ring_fwd, _ring_bwd)
+
+    def local_fn(q_l, k_l, v_l, lengths_l, *maybe_rel):
+        rel = maybe_rel[0] if maybe_rel else None
+        my = jax.lax.axis_index(seq_axis)
+        return _ring(q_l, k_l, v_l, rel, lengths_l, my)
 
     spec = P(batch_axis, seq_axis, None, None)
     in_specs = [spec, spec, spec, P(batch_axis)]

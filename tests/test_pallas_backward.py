@@ -119,3 +119,39 @@ def test_grads_through_sequence_sharding():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4, err_msg=n
         )
+
+
+def test_grads_through_ring_sharding():
+    """Ring-schedule grads == single-device kernel grads."""
+    from mmt_tpu.ops.pallas_attention import ring_sequence_sharded_pallas_attention
+    from mmt_tpu.parallel import create_mesh
+
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=4, num_core_layers=1)
+    B, S, H, D, V = 2, 256, 2, 16, 24
+    q, k, v, table = _rand_inputs(B, S, H, D, V, seed=23)
+    lengths = jnp.asarray([256, 200], jnp.int32)
+    w = jnp.arange(B * S * H * D, dtype=jnp.float32).reshape(B, S, H, D) * 1e-4
+
+    def loss_single(q, k, v, table):
+        out = pallas_relative_attention(
+            q, k, v, table, geo, lengths, block_q=32, block_k=32, interpret=True
+        )
+        return jnp.sum(out * w)
+
+    want = jax.grad(loss_single, argnums=(0, 1, 2, 3))(q, k, v, table)
+
+    mesh = create_mesh(num_data=2, num_model=4)
+    with mesh:
+        def loss_ring(q, k, v, table):
+            out = ring_sequence_sharded_pallas_attention(
+                q, k, v, table, geo, lengths, mesh=mesh, block_q=32,
+                block_k=32, interpret=True,
+            )
+            return jnp.sum(out * w)
+
+        got = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2, 3)))(q, k, v, table)
+
+    for n, a, b in zip(["dq", "dk", "dv", "drel"], want, got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4, err_msg=n
+        )
