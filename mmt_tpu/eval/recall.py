@@ -1,9 +1,19 @@
-"""Recall@K from a results dataframe.
+"""Recall@K over retrieval prediction results.
 
-Parity surface: ``src/prediction_helper.py:30-89`` -- score matrix via
-pivot_table, double-argsort ranking, i2t and t2i recalls at K in
-{1, 3, 5, 10}, with missing pairs scored -1 / gt 0, and the same
-string-formatted output dict (``'i2t @  1' -> '0.1234'``).
+Parity surface: ``src/prediction_helper.py:29-89``.  Given per-pair rows
+(image_index, text_index, gt_image_index, output) this reproduces the
+reference's metric exactly -- including its quirks, which are pinned by
+a golden fixture test (``tests/test_recall.py``):
+
+* duplicate (image, text) rows are averaged (the reference's
+  ``pivot_table`` default aggregation);
+* pairs absent from the grid score -1 (all real scores are
+  probabilities in [0, 1], so they always lose) and count as negatives;
+* ranks come from a double argsort, so tied scores get distinct ranks
+  in numpy's (unstable) sort order;
+* a query with at least one ground-truth match counts as a hit if *any*
+  of its matches ranks in the top k; queries with no ground truth are
+  excluded from the denominator.
 """
 
 from __future__ import annotations
@@ -14,42 +24,61 @@ from typing import Dict
 import numpy as np
 import pandas as pd
 
+_MISSING_SCORE = -1.0
 
-def get_recall_at_k_from_dataframe(df: pd.DataFrame, topks=(1, 3, 5, 10)) -> Dict[str, str]:
-    score_matrix = df.pivot_table(
-        values="output", index="image_index", columns="text_index"
-    ).values
-    score_matrix = np.nan_to_num(score_matrix, nan=-1)
 
-    df = df.copy()
-    df["positive"] = (df["image_index"] == df["gt_image_index"]).astype(int)
-    gt_matrix = df.pivot_table(
-        values="positive", index="image_index", columns="text_index"
-    ).values
-    gt_matrix = np.nan_to_num(gt_matrix, nan=0)
+def _mean_grid(rows, cols, values, fill):
+    """Dense [n_rows, n_cols] grid of duplicate-averaged values.
 
-    def rank(x, axis=-1):
-        return np.argsort(np.argsort(x, axis=axis), axis=axis)
+    ``rows``/``cols`` are already inverse indices into the sorted unique
+    id vocabularies; cells with no observation get ``fill``.
+    """
+    shape = (rows.max() + 1, cols.max() + 1)
+    flat = rows * shape[1] + cols
+    total = np.bincount(flat, weights=values, minlength=shape[0] * shape[1])
+    count = np.bincount(flat, minlength=shape[0] * shape[1])
+    seen = count > 0
+    grid = np.full(shape[0] * shape[1], float(fill))
+    grid[seen] = total[seen] / count[seen]
+    return grid.reshape(shape)
 
-    m, n = score_matrix.shape
-    i2t_rank = (rank(score_matrix, axis=1) - n) * -1
-    t2i_rank = (rank(score_matrix, axis=0) - m) * -1
 
-    recall_dict = collections.OrderedDict()
-    for k in topks:
-        rank_at_gt = i2t_rank * gt_matrix
-        match = ((rank_at_gt <= k) & (rank_at_gt > 0)).astype(int)
-        match = np.clip(np.sum(match, axis=1).astype(float), 0, 1)
-        num_valid_gt = np.clip(np.sum(gt_matrix, axis=1), 0, 1)
-        recall = np.divide(np.sum(match), np.sum(num_valid_gt), out=np.zeros(1))
-        recall_dict[f"i2t @ {k:>2}"] = f"{np.mean(recall):.4f}"
+def _descending_ranks(scores, axis):
+    """1-based rank of each score within its slice, best score = rank 1."""
+    ascending = np.argsort(np.argsort(scores, axis=axis), axis=axis)
+    return scores.shape[axis] - ascending
 
-    for k in topks:
-        rank_at_gt = t2i_rank * gt_matrix
-        match = (rank_at_gt <= k) & (rank_at_gt > 0)
-        match = np.clip(np.sum(match, axis=0).astype(float), 0, 1)
-        num_valid_gt = np.clip(np.sum(gt_matrix, axis=0), 0, 1)
-        recall = np.divide(np.sum(match), np.sum(num_valid_gt), out=np.zeros(1))
-        recall_dict[f"t2i @ {k:>2}"] = f"{np.mean(recall):.4f}"
 
-    return recall_dict
+def _recall_from_ranks(ranks, gt, axis, k):
+    """Fraction of queries (slices along ``axis``) whose best-ranked
+    ground-truth match is within the top k.
+
+    The pair test uses the reference's gt-weighted rank (rank * gt in
+    (0, k]) so any fractional gt cells behave identically.
+    """
+    weighted = ranks * gt
+    hit_per_pair = (weighted > 0) & (weighted <= k)
+    hits = hit_per_pair.any(axis=axis)
+    has_gt = (gt > 0).any(axis=axis)
+    denom = has_gt.sum()
+    return hits.sum() / denom if denom else 0.0
+
+
+def get_recall_at_k_from_dataframe(
+    df: pd.DataFrame, topks=(1, 3, 5, 10)
+) -> Dict[str, str]:
+    """Returns the reference's formatted recall dict, e.g.
+    ``{'i2t @  1': '0.1234', ...}``."""
+    image_ids, row = np.unique(df["image_index"].to_numpy(), return_inverse=True)
+    text_ids, col = np.unique(df["text_index"].to_numpy(), return_inverse=True)
+    scores = _mean_grid(row, col, df["output"].to_numpy(float), _MISSING_SCORE)
+    positive = (df["image_index"] == df["gt_image_index"]).to_numpy(float)
+    gt = _mean_grid(row, col, positive, 0.0)
+
+    result = collections.OrderedDict()
+    for name, axis in (("i2t", 1), ("t2i", 0)):
+        ranks = _descending_ranks(scores, axis=axis)
+        for k in topks:
+            recall = _recall_from_ranks(ranks, gt, axis, k)
+            result[f"{name} @ {k:>2}"] = f"{recall:.4f}"
+    return result

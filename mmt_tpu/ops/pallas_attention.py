@@ -173,74 +173,117 @@ def _clip_vid(off_val: int, dtd: int) -> int:
     return off_val if off_val >= 0 else dtd - off_val
 
 
+def _band_vid_order(dtd):
+    """Band vid order: column c of the strip holds vid(c - dtd), i.e.
+    [2*dtd, 2*dtd-1, ..., dtd+1, 0, 1, ..., dtd] (vid(off) = off for
+    off >= 0 else dtd - off)."""
+    return [2 * dtd - c for c in range(dtd)] + list(range(dtd + 1))
+
+
+def _band_bias_rolled(qr, delta, dtd, band0, shape):
+    """Band bias via one strided roll (MXU-free skew).
+
+    The relative table passed to the kernel is augmented (``_prepare``)
+    with the 2*dtd+1 band ids duplicated in vid order at column
+    ``band0``, so ``qr`` already contains the band strip contiguously --
+    bit-identical to per-id gathers, with zero extra matmul cost (the
+    columns ride the existing v_pad padding).  Row ii of the zero-padded
+    strip is rotated by (ii - dtd - delta) so strip column c lands at
+    tile column jj with offs(ii, jj) = c - dtd.  In-band positions read
+    column offs + dtd (no wrap); out-of-band positions hold wrap garbage
+    the caller's select discards.  Requires bk >= 2*dtd+1.
+    ``delta`` = k_base - q_base (traced scalar).
+    """
+    bq, bk = shape
+    strip = qr[:, band0:band0 + 2 * dtd + 1]
+    padded = jnp.pad(strip, ((0, 0), (0, bk - strip.shape[1])))
+    shift = -(dtd + jnp.asarray(delta, jnp.int32))
+    return pltpu.roll(padded, shift, 1, stride=1, stride_axis=0)
+
+
 def _tile_bias(qr, meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q, block_k):
     """Relative bias [bq, bk] for the tile starting at global row q_base."""
     dtd = geo.text_max_distance
     img_len = geo.image_len
-    kind = meta_ref[t, 3]
-
-    def far_bias():
-        is_right = (meta_ref[t, 3] == 0).astype(qr.dtype)
-        col = qr[:, dtd] * is_right + qr[:, 2 * dtd] * (1.0 - is_right)
-        return jnp.broadcast_to(col[:, None], shape)
 
     def general_bias():
-        i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        offs = j_pos - i_pos
-        text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
+        # Lean assembly: one sublane/lane index-difference tile, scalar-
+        # shifted compares (no materialized offs/text_pair), the whole
+        # band via one strided roll, and a single select chain.  Every
+        # elementwise pass over a [bq, bk] tile costs real VPU time, so
+        # the op count here is deliberately minimal.
+        ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        jmi = jj - ii  # offs = delta + jmi, delta = k_base - q_base
+        delta = k_base - q_base
+        right = jmi > dtd - delta
+        left = jmi < -dtd - delta
+        ev = jnp.where(right, qr[:, dtd][:, None], qr[:, 2 * dtd][:, None])
 
-        def tmask(x):
-            return jnp.where(text_pair, x, 0.0) if text_pair is not None else x
+        if shape[1] >= 2 * dtd + 1:
+            # Band values land in-place via the skew roll; out-of-band
+            # positions (incl. the roll's wrap-around) select the edge
+            # value instead, so no band mask and no cond are needed.
+            rolled = _band_bias_rolled(qr, delta, dtd, rel_vocab, shape)
+            bias = jnp.where(right | left, ev, rolled)
+        else:
+            # Narrow-tile fallback (tests at tiny blocks): per-offset
+            # select loop, gated on the tile actually meeting the band.
+            def band_bias(bias):
+                offs = jmi + delta
+                abs_offs = jnp.abs(offs)
+                pos = offs > 0
+                add = jnp.where(offs == 0, qr[:, 0][:, None], 0.0)
+                for d_val in range(1, dtd + 1):
+                    val = jnp.where(pos, qr[:, d_val][:, None],
+                                    qr[:, dtd + d_val][:, None])
+                    add = add + jnp.where(abs_offs == d_val, val, 0.0)
+                return bias + add
 
-        bias = tmask(
-            jnp.where(offs > dtd, qr[:, dtd][:, None], 0.0)
-            + jnp.where(offs < -dtd, qr[:, 2 * dtd][:, None], 0.0)
-        )
-
-        # Measured on v5e: a single gated loop beats per-offset lax.cond
-        # gating (branch overhead) and bf16 band math (layout conversions).
-        # +/-d offsets are paired: one |offs| compare + a directional
-        # select between the two qr columns (fewer VPU passes; measured
-        # neutral at 4k -- Mosaic already fused the unpaired form well).
-        def band_bias(bias):
-            abs_offs = jnp.abs(offs)
-            pos = offs > 0
-            add = jnp.where(offs == 0, qr[:, 0][:, None], 0.0)
-            for d_val in range(1, dtd + 1):
-                val = jnp.where(pos, qr[:, d_val][:, None],
-                                qr[:, dtd + d_val][:, None])
-                add = add + jnp.where(abs_offs == d_val, val, 0.0)
-            return bias + tmask(add)
-
-        bias = jax.lax.cond(
-            meta_ref[t, 0] <= meta_ref[t, 1], band_bias, lambda x: x, bias
-        )
+            bias = jnp.where(right | left, ev, 0.0)
+            bias = jax.lax.cond(
+                meta_ref[t, 0] <= meta_ref[t, 1], band_bias, lambda x: x, bias
+            )
 
         if img_len:
+            # Region select: text-text pairs keep the 1D bias; cross
+            # pairs get the part-id bias (zero when the part ids are out
+            # of vocab, the flagship case); image-image pairs get the 2D
+            # ids (one tile, under cond).
+            ti = ii >= img_len - q_base  # i_pos >= img_len
+            tj = jj >= img_len - k_base
+            if geo.text_part_id < rel_vocab or geo.image_part_id < rel_vocab:
+                tpart = (
+                    qr[:, geo.text_part_id][:, None]
+                    if geo.text_part_id < rel_vocab else jnp.float32(0.0)
+                )
+                ipart = (
+                    qr[:, geo.image_part_id][:, None]
+                    if geo.image_part_id < rel_vocab else jnp.float32(0.0)
+                )
+                cross = jnp.where(ti, ipart, tpart)
+                bias = jnp.where(ti & tj, bias, jnp.where(ti ^ tj, cross, 0.0))
+            else:
+                bias = jnp.where(ti & tj, bias, 0.0)
+
             def image_bias(bias):
+                i_pos = q_base + ii
+                j_pos = k_base + jj
                 ids2d = _image_ids_2d(i_pos, j_pos, geo)
                 add = jnp.zeros_like(bias)
                 for vid in range(min(geo.num_image_ids, rel_vocab)):
                     add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
-                imask = (i_pos < img_len) & (j_pos < img_len)
+                imask = jnp.logical_not(ti | tj)
                 return bias + jnp.where(imask, add, 0.0)
 
             bias = jax.lax.cond(meta_ref[t, 2] == 1, image_bias, lambda x: x, bias)
-
-            if geo.text_part_id < rel_vocab:
-                bias = bias + jnp.where(
-                    (i_pos < img_len) & (j_pos >= img_len),
-                    qr[:, geo.text_part_id][:, None], 0.0,
-                )
-            if geo.image_part_id < rel_vocab:
-                bias = bias + jnp.where(
-                    (i_pos >= img_len) & (j_pos < img_len),
-                    qr[:, geo.image_part_id][:, None], 0.0,
-                )
         return bias
 
-    return jax.lax.cond(kind == 2, general_bias, far_bias)
+    # No far-tile special case: on an all-text far tile every position
+    # satisfies right (or left), so the select chain reduces to exactly
+    # the rank-1 edge value -- and dropping the per-tile lax.cond saves
+    # more than the far path did (conds cost ~0.3us/step on v5e).
+    return general_bias()
 
 
 def _tile_dsv(ds, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab, block_q, block_k):
@@ -345,60 +388,77 @@ def _fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
     q_base = qoff_ref[0] + qi * block_q
     k_base = qoff_ref[1] + ki * block_k
-
-    if rel_vocab:
-        qr = jax.lax.dot_general(
-            q, rel_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s + _tile_bias(
-            qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
-            block_q, block_k,
-        )
-
-    s = s * softmax_scale
-
     length = lengths_ref[b]
 
-    def apply_mask(s):
-        return s + _length_mask_term(
-            length, q_base, k_base, s.shape, block_q, block_k
+    # Exact tile skip: with the segmented mask, a tile whose (q, k) pairs
+    # are all cross-boundary (real x pad or pad x real) gets -1e4 on
+    # every logit, and exp(-1e4 - m) underflows to exactly 0.0 in
+    # float32 once any same-side tile set m (every row has one).  So
+    # skipping such tiles is bit-exact, and cuts ~len/S of the work.
+    q_real = q_base < length
+    q_pad = q_base + block_q > length
+    k_real = k_base < length
+    k_pad = k_base + block_k > length
+    contributes = (q_real & k_real) | (q_pad & k_pad)
+
+    @pl.when(contributes)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+        if rel_vocab:
+            qr = jax.lax.dot_general(
+                q, rel_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + _tile_bias(
+                qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
+                block_q, block_k,
+            )
 
-    m_prev = m_scratch[:, 0]
-    l_prev = l_scratch[:, 0]
-    m_cur = jnp.max(s, axis=1)
-    m_next = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, None])
-    l_next = l_prev * alpha + jnp.sum(p, axis=1)
+        s = s * softmax_scale
 
-    m_scratch[...] = jnp.broadcast_to(m_next[:, None], m_scratch.shape)
-    l_scratch[...] = jnp.broadcast_to(l_next[:, None], l_scratch.shape)
+        def apply_mask(s):
+            return s + _length_mask_term(
+                length, q_base, k_base, s.shape, block_q, block_k
+            )
 
-    v_tile = v_ref[0, 0]
-    pv = jax.lax.dot_general(
-        p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scratch[...] = acc_scratch[...] * alpha[:, None] + pv
+        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
+        s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+
+        m_prev = m_scratch[:, 0]
+        l_prev = l_scratch[:, 0]
+        m_cur = jnp.max(s, axis=1)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, None])
+        l_next = l_prev * alpha + jnp.sum(p, axis=1)
+
+        m_scratch[...] = jnp.broadcast_to(m_next[:, None], m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next[:, None], l_scratch.shape)
+
+        v_tile = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha[:, None] + pv
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _finalize():
         l_final = l_scratch[:, 0]
-        o_ref[0, 0] = (acc_scratch[...] / l_final[:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0, :, 0] = (m_scratch[:, 0] + jnp.log(l_final)).astype(
+        # A row can end with l == 0 when *every* k-tile of this call was
+        # skipped (sequence-sharded chunk fully on the other side of the
+        # length boundary): emit 0 output and -inf lse so the cross-chunk
+        # logsumexp combine ignores this shard, instead of 0/0 = NaN.
+        l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+        o_ref[0, 0] = (acc_scratch[...] / l_safe[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0, :, 0] = (m_scratch[:, 0] + jnp.log(l_safe)).astype(
             jnp.float32
         )
 
@@ -419,10 +479,17 @@ def _prepare(q, k, rel_table, geometry, block_q, block_k, q_start=0, k_start=0):
     nq, nk = seq_q // block_q, seq_k // block_k
     if have_rel:
         rel_vocab = rel_table.shape[0]
-        v_pad = _round_up(rel_vocab, 128)
+        # Augment with the text band ids duplicated in vid order at
+        # column rel_vocab: qr = q @ rel_h then holds the band strip
+        # contiguously (see _band_bias_rolled).  The extra columns ride
+        # the v_pad padding, cost nothing in the matmul, and are never
+        # touched by the backward scatter (dsv stays in original vids).
+        band = rel_table[np.asarray(_band_vid_order(geometry.text_max_distance))]
+        aug = jnp.concatenate([rel_table, band], axis=0).astype(q.dtype)
+        v_pad = _round_up(aug.shape[0], 128)
         rel_h = jnp.pad(
-            rel_table.astype(q.dtype).transpose(1, 0, 2),
-            ((0, 0), (0, v_pad - rel_vocab), (0, 0)),
+            aug.transpose(1, 0, 2),
+            ((0, 0), (0, v_pad - aug.shape[0]), (0, 0)),
         )  # [H, V_pad, head_dim]
         static_offsets = (
             isinstance(q_start, int) and q_start == 0

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Micro-benchmark: one fused attention layer at flagship geometry.
+
+Measures ms/layer for pallas_relative_attention at B=8, S=4096, H=12,
+D=64, 2D geometry (P=14, r=1, dtd=12, vocab 49), bf16 inputs.
+
+Honest timing on the tunneled TPU (see CLAUDE.md): distinct inputs per
+iteration + device->host transfer as the sync point.
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmt_tpu.ops.pallas_attention import RelGeometry, pallas_relative_attention
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=4096)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--vocab", type=int, default=49)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--norel", action="store_true")
+    ap.add_argument("--minlen", type=int, default=None,
+                    help="min length (default S//2); S => no padding")
+    ap.add_argument("--bwd", action="store_true", help="time fwd+bwd")
+    args = ap.parse_args()
+
+    B, S, H, D = args.batch, args.seq, args.heads, args.dim
+    geo = RelGeometry(text_max_distance=12, num_patch_per_row=14, num_core_layers=1)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    tab = jnp.asarray(rng.normal(size=(args.vocab, H, D)), jnp.float32)
+    minlen = args.minlen if args.minlen is not None else S // 2
+    lengths = jnp.asarray(rng.integers(minlen, S + 1, (B,)), jnp.int32)
+
+    rel = (None, None) if args.norel else (tab, geo)
+
+    def layer(q):
+        return pallas_relative_attention(
+            q, k, v, rel[0], rel[1], lengths,
+            block_q=args.block, block_k=args.block)
+
+    if args.bwd:
+        def f(q):
+            return jnp.sum(layer(q).astype(jnp.float32) ** 2)
+
+        def once(q):
+            return jax.grad(f)(q)
+    else:
+        once = layer
+
+    # Slope timing: chain the kernel K times inside one jit (output feeds
+    # the next input, forcing sequential execution); per-layer time is the
+    # slope between K and 2K chains, cancelling dispatch/tunnel overhead.
+    K = args.iters
+
+    def chain(q, n):
+        def body(i, acc):
+            return once(acc) + jnp.bfloat16(1e-6) * i
+        return jax.lax.fori_loop(0, n, body, q)
+
+    f1 = jax.jit(lambda q: chain(q, K))
+    f2 = jax.jit(lambda q: chain(q, 2 * K))
+
+    t0 = time.perf_counter()
+    np.asarray(f1(q)[0, 0, 0]); np.asarray(f2(q)[0, 0, 0])
+    print(f"compile: {time.perf_counter() - t0:.1f}s")
+
+    def t(fn, qi):
+        t0 = time.perf_counter()
+        np.asarray(fn(qi)[0, 0, 0])
+        return time.perf_counter() - t0
+
+    t(f1, q); t(f2, q)  # warm
+    t1 = min(t(f1, q + jnp.bfloat16(0.01 * i)) for i in range(3))
+    t2 = min(t(f2, q + jnp.bfloat16(0.01 * i)) for i in range(3))
+    dt = (t2 - t1) / K
+    print(f"{'fwd+bwd' if args.bwd else 'fwd'} B={B} S={S} H={H} D={D} "
+          f"block={args.block} rel={not args.norel}: {dt * 1e3:.2f} ms/layer "
+          f"(t{K}={t1 * 1e3:.1f}ms t{2 * K}={t2 * 1e3:.1f}ms)")
+
+
+if __name__ == "__main__":
+    main()
