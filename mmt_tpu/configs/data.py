@@ -50,6 +50,10 @@ class MmtDataConfig(Config):
 
     # Minimum index shift for ITM negatives (avoids false negatives).
     min_shift: int = 5
+    # Post-match example shuffle buffer, so batches mix ITM positives and
+    # negatives (reference dataset.shuffle(4096) after unbatching,
+    # src/data/pretrain_dataloader.py:213-215).
+    shuffle_buffer_size: int = 4096
     use_rand_aug: bool = False
     drop_remainder: bool = True
     # --- TPU-native extension: host input-pipeline worker processes

@@ -52,6 +52,35 @@ def _glob_shard(
     return files[shard_index::num_shards]
 
 
+def _shuffle_stream(stream, buffer_size: int, rng) -> Iterator:
+    """tf.data-style shuffle: keep a buffer, emit a uniformly random
+    element, refill from the stream (src/data/pretrain_dataloader.py:214)."""
+    buf = list(itertools.islice(stream, buffer_size))
+    for item in stream:
+        i = int(rng.integers(len(buf)))
+        yield buf[i]
+        buf[i] = item
+    rng.shuffle(buf)
+    yield from buf
+
+
+def _unbatch(batch: Dict[str, np.ndarray]) -> Iterator[Dict[str, np.ndarray]]:
+    n = len(next(iter(batch.values())))
+    for i in range(n):
+        yield {k: v[i] for k, v in batch.items()}
+
+
+def _rebatch(stream, batch_size: int, drop_remainder: bool):
+    buf: List[Dict[str, np.ndarray]] = []
+    for item in stream:
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}
+            buf = []
+    if buf and not drop_remainder:
+        yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}
+
+
 def _segment_ids(max_seq_len: int, img_wp: int, txt_wp: int) -> np.ndarray:
     """Host copy of features.attention_mask.make_segment_ids (incl. quirk)."""
     pos = np.arange(max_seq_len)
@@ -205,22 +234,36 @@ class MmtPretrainLoader(_BaseLoader):
         records = self._record_iter(
             cfg.input_path, shard_index, num_shards, rng, repeat=cfg.is_training
         )
-        examples = []
-        keys = []
-        for payload in records:
-            ex = self._decode(payload, rng, cfg.is_training)
-            # Short-text filter (src/data/pretrain_dataloader.py:152-163).
-            if ex.num_text_wordpieces < self.cfg.min_text_wordpieces:
-                continue
-            examples.append(self._mask_example(ex, rng))
-            keys.append(ex.extras.get("image_key", len(keys)))
-            matching_bsz = batch_size if do_itm else batch_size
-            if do_itm:
-                # ITM doubles the batch (ratio 1); collect half.
-                matching_bsz = batch_size // 2
-            if len(examples) == matching_bsz:
-                yield self._finalize_batch(examples, keys, do_itm)
-                examples, keys = [], []
+        # ITM doubles the batch (ratio 1): collect half per matching call.
+        matching_bsz = batch_size // 2 if do_itm else batch_size
+
+        def matched_batches():
+            examples, keys = [], []
+            for payload in records:
+                ex = self._decode(payload, rng, cfg.is_training)
+                # Short-text filter (src/data/pretrain_dataloader.py:152-163).
+                if ex.num_text_wordpieces < self.cfg.min_text_wordpieces:
+                    continue
+                examples.append(self._mask_example(ex, rng))
+                keys.append(ex.extras.get("image_key", len(keys)))
+                if len(examples) == matching_bsz:
+                    yield self._finalize_batch(examples, keys, do_itm)
+                    examples, keys = [], []
+
+        if do_itm and cfg.is_training:
+            # Post-match shuffle: unbatch the matched examples through a
+            # shuffle buffer before rebatching, so every emitted batch
+            # (and micro-batch under grad accumulation) mixes positives
+            # and negatives (src/data/pretrain_dataloader.py:213-215).
+            stream = itertools.chain.from_iterable(
+                _unbatch(b) for b in matched_batches()
+            )
+            yield from _rebatch(
+                _shuffle_stream(stream, cfg.shuffle_buffer_size, rng),
+                batch_size, drop_remainder=cfg.is_training,
+            )
+        else:
+            yield from matched_batches()
 
     def _finalize_batch(self, examples, keys, do_itm) -> Dict[str, np.ndarray]:
         batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
@@ -267,14 +310,29 @@ class MmtClassificationLoader(_BaseLoader):
         records = self._record_iter(
             cfg.input_path, shard_index, num_shards, rng, repeat=cfg.is_training
         )
-        examples, keys = [], []
-        for payload in records:
-            ex = self._decode(payload, rng, cfg.is_training)
-            examples.append(self._features(ex))
-            keys.append(ex.extras.get("image_key", len(keys)))
-            if len(examples) == collect:
-                yield self._finalize(examples, keys)
-                examples, keys = [], []
+
+        def matched_batches():
+            examples, keys = [], []
+            for payload in records:
+                ex = self._decode(payload, rng, cfg.is_training)
+                examples.append(self._features(ex))
+                keys.append(ex.extras.get("image_key", len(keys)))
+                if len(examples) == collect:
+                    yield self._finalize(examples, keys)
+                    examples, keys = [], []
+
+        if cfg.is_training:
+            # Post-match shuffle before rebatching, mixing positives and
+            # negatives per batch (src/data/classification_dataloader.py:180).
+            stream = itertools.chain.from_iterable(
+                _unbatch(b) for b in matched_batches()
+            )
+            yield from _rebatch(
+                _shuffle_stream(stream, cfg.shuffle_buffer_size, rng),
+                batch_size, drop_remainder=True,
+            )
+        else:
+            yield from matched_batches()
 
     def _features(self, ex: AssembledExample) -> Dict[str, np.ndarray]:
         text_ids = pad_1d(

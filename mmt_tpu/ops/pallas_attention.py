@@ -201,58 +201,79 @@ def _band_bias_rolled(qr, delta, dtd, band0, shape):
     return pltpu.roll(padded, shift, 1, stride=1, stride_axis=0)
 
 
-def _tile_bias(qr, meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q, block_k):
-    """Relative bias [bq, bk] for the tile starting at global row q_base."""
+def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
+                     block_q, block_k):
+    """Relative bias tiles for a list of per-head qr matrices.
+
+    Lean assembly shared across the packed heads: one sublane/lane
+    index-difference tile, scalar-shifted compares (no materialized
+    offs/text_pair), the whole band via one strided roll per head, and a
+    single select chain.  Every elementwise pass over a [bq, bk] tile
+    costs real VPU time, so all head-independent masks are computed once
+    and per-tile lax.conds are shared by all heads.  There is no
+    far-tile special case: on an all-text far tile every position
+    satisfies right (or left), so the chain degenerates to exactly the
+    rank-1 edge value -- and a measured far-tile lax.cond branch loses
+    to the unconditional chain (cond operand/result copies of the packed
+    bias tiles outweigh the skipped work).
+    """
     dtd = geo.text_max_distance
     img_len = geo.image_len
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    jmi = jj - ii  # offs = delta + jmi, delta = k_base - q_base
+    delta = k_base - q_base
+    right = jmi > dtd - delta
+    left = jmi < -dtd - delta
+    rl = right | left
+    fast = shape[1] >= 2 * dtd + 1
 
-    def general_bias():
-        # Lean assembly: one sublane/lane index-difference tile, scalar-
-        # shifted compares (no materialized offs/text_pair), the whole
-        # band via one strided roll, and a single select chain.  Every
-        # elementwise pass over a [bq, bk] tile costs real VPU time, so
-        # the op count here is deliberately minimal.
-        ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        jmi = jj - ii  # offs = delta + jmi, delta = k_base - q_base
-        delta = k_base - q_base
-        right = jmi > dtd - delta
-        left = jmi < -dtd - delta
+    biases = []
+    for qr in qrs:
         ev = jnp.where(right, qr[:, dtd][:, None], qr[:, 2 * dtd][:, None])
-
-        if shape[1] >= 2 * dtd + 1:
+        if fast:
             # Band values land in-place via the skew roll; out-of-band
             # positions (incl. the roll's wrap-around) select the edge
             # value instead, so no band mask and no cond are needed.
             rolled = _band_bias_rolled(qr, delta, dtd, rel_vocab, shape)
-            bias = jnp.where(right | left, ev, rolled)
+            biases.append(jnp.where(rl, ev, rolled))
         else:
-            # Narrow-tile fallback (tests at tiny blocks): per-offset
-            # select loop, gated on the tile actually meeting the band.
-            def band_bias(bias):
-                offs = jmi + delta
-                abs_offs = jnp.abs(offs)
-                pos = offs > 0
+            biases.append(jnp.where(rl, ev, 0.0))
+
+    if not fast:
+        # Narrow-tile fallback (tests at tiny blocks): per-offset select
+        # loop, gated on the tile actually meeting the band.
+        def band_bias(biases):
+            offs = jmi + delta
+            abs_offs = jnp.abs(offs)
+            pos = offs > 0
+            out = []
+            for qr, bias in zip(qrs, biases):
                 add = jnp.where(offs == 0, qr[:, 0][:, None], 0.0)
                 for d_val in range(1, dtd + 1):
                     val = jnp.where(pos, qr[:, d_val][:, None],
                                     qr[:, dtd + d_val][:, None])
                     add = add + jnp.where(abs_offs == d_val, val, 0.0)
-                return bias + add
+                out.append(bias + add)
+            return tuple(out)
 
-            bias = jnp.where(right | left, ev, 0.0)
-            bias = jax.lax.cond(
-                meta_ref[t, 0] <= meta_ref[t, 1], band_bias, lambda x: x, bias
-            )
+        biases = list(jax.lax.cond(
+            meta_ref[t, 0] <= meta_ref[t, 1], band_bias,
+            lambda bs: tuple(bs), tuple(biases),
+        ))
 
-        if img_len:
-            # Region select: text-text pairs keep the 1D bias; cross
-            # pairs get the part-id bias (zero when the part ids are out
-            # of vocab, the flagship case); image-image pairs get the 2D
-            # ids (one tile, under cond).
-            ti = ii >= img_len - q_base  # i_pos >= img_len
-            tj = jj >= img_len - k_base
-            if geo.text_part_id < rel_vocab or geo.image_part_id < rel_vocab:
+    if img_len:
+        # Region select: text-text pairs keep the 1D bias; cross pairs
+        # get the part-id bias (zero when the part ids are out of vocab,
+        # the flagship case); image-image pairs get the 2D ids (one
+        # tile, under a cond shared by all heads).
+        ti = ii >= img_len - q_base  # i_pos >= img_len
+        tj = jj >= img_len - k_base
+        tt = ti & tj
+        if geo.text_part_id < rel_vocab or geo.image_part_id < rel_vocab:
+            xor = ti ^ tj
+            sel = []
+            for qr, bias in zip(qrs, biases):
                 tpart = (
                     qr[:, geo.text_part_id][:, None]
                     if geo.text_part_id < rel_vocab else jnp.float32(0.0)
@@ -262,28 +283,37 @@ def _tile_bias(qr, meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q, 
                     if geo.image_part_id < rel_vocab else jnp.float32(0.0)
                 )
                 cross = jnp.where(ti, ipart, tpart)
-                bias = jnp.where(ti & tj, bias, jnp.where(ti ^ tj, cross, 0.0))
-            else:
-                bias = jnp.where(ti & tj, bias, 0.0)
+                sel.append(jnp.where(tt, bias, jnp.where(xor, cross, 0.0)))
+            biases = sel
+        else:
+            biases = [jnp.where(tt, bias, 0.0) for bias in biases]
 
-            def image_bias(bias):
-                i_pos = q_base + ii
-                j_pos = k_base + jj
-                ids2d = _image_ids_2d(i_pos, j_pos, geo)
+        def image_bias(biases):
+            i_pos = q_base + ii
+            j_pos = k_base + jj
+            ids2d = _image_ids_2d(i_pos, j_pos, geo)
+            imask = jnp.logical_not(ti | tj)
+            out = []
+            for qr, bias in zip(qrs, biases):
                 add = jnp.zeros_like(bias)
                 for vid in range(min(geo.num_image_ids, rel_vocab)):
                     add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
-                imask = jnp.logical_not(ti | tj)
-                return bias + jnp.where(imask, add, 0.0)
+                out.append(bias + jnp.where(imask, add, 0.0))
+            return tuple(out)
 
-            bias = jax.lax.cond(meta_ref[t, 2] == 1, image_bias, lambda x: x, bias)
-        return bias
+        biases = list(jax.lax.cond(
+            meta_ref[t, 2] == 1, image_bias, lambda bs: tuple(bs), tuple(biases),
+        ))
+    return biases
 
-    # No far-tile special case: on an all-text far tile every position
-    # satisfies right (or left), so the select chain reduces to exactly
-    # the rank-1 edge value -- and dropping the per-tile lax.cond saves
-    # more than the far path did (conds cost ~0.3us/step on v5e).
-    return general_bias()
+
+def _tile_bias(qr, meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q,
+               block_k):
+    """Single-head relative bias tile (backward kernels)."""
+    return _tile_bias_multi(
+        [qr], meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q,
+        block_k,
+    )[0]
 
 
 def _tile_dsv(ds, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab, block_q, block_k):
@@ -357,6 +387,18 @@ def _tile_dsv(ds, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab, block_q, b
     return jax.lax.cond(meta_ref[t, 3] == 2, general_dsv, far_dsv)
 
 
+def _tile_contributes(q_base, k_base, length, block_q, block_k):
+    """Exact tile skip: a tile whose (q, k) pairs are all cross-boundary
+    (real x pad or pad x real) gets -1e4 on every logit, so its softmax
+    weight underflows to exactly 0.0 in float32 -- forward contributions
+    and all gradients through it are exactly zero and can be skipped."""
+    q_real = q_base < length
+    q_pad = q_base + block_q > length
+    k_real = k_base < length
+    k_pad = k_base + block_k > length
+    return (q_real & k_real) | (q_pad & k_pad)
+
+
 def _length_mask_term(length, q_base, k_base, shape, block_q, block_k):
     q_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     k_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -369,7 +411,7 @@ def _length_mask_term(length, q_base, k_base, shape, block_q, block_k):
 
 def _fwd_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
-    geo, rel_vocab, block_q, block_k, nk, softmax_scale,
+    geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
 ):
     if rel_vocab:
         rel_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
@@ -392,75 +434,78 @@ def _fwd_kernel(
     k_base = qoff_ref[1] + ki * block_k
     length = lengths_ref[b]
 
-    # Exact tile skip: with the segmented mask, a tile whose (q, k) pairs
-    # are all cross-boundary (real x pad or pad x real) gets -1e4 on
-    # every logit, and exp(-1e4 - m) underflows to exactly 0.0 in
-    # float32 once any same-side tile set m (every row has one).  So
-    # skipping such tiles is bit-exact, and cuts ~len/S of the work.
-    q_real = q_base < length
-    q_pad = q_base + block_q > length
-    k_real = k_base < length
-    k_pad = k_base + block_k > length
-    contributes = (q_real & k_real) | (q_pad & k_pad)
-
-    @pl.when(contributes)
+    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
     def _body():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-        if rel_vocab:
-            qr = jax.lax.dot_general(
-                q, rel_ref[0], (((1,), (1,)), ((), ())),
+        qs = [q_ref[0, hh] for hh in range(hb)]
+        ss = [
+            jax.lax.dot_general(
+                q, k_ref[0, hh], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s + _tile_bias(
-                qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
+            for hh, q in enumerate(qs)
+        ]
+        shape = ss[0].shape
+
+        if rel_vocab:
+            qrs = [
+                jax.lax.dot_general(
+                    q, rel_ref[hh], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for hh, q in enumerate(qs)
+            ]
+            biases = _tile_bias_multi(
+                qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
                 block_q, block_k,
             )
+            ss = [s + bias for s, bias in zip(ss, biases)]
 
-        s = s * softmax_scale
+        ss = [s * softmax_scale for s in ss]
 
-        def apply_mask(s):
-            return s + _length_mask_term(
-                length, q_base, k_base, s.shape, block_q, block_k
+        def apply_mask(ss):
+            term = _length_mask_term(
+                length, q_base, k_base, shape, block_q, block_k
             )
+            return tuple(s + term for s in ss)
 
         tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-        s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
-
-        m_prev = m_scratch[:, 0]
-        l_prev = l_scratch[:, 0]
-        m_cur = jnp.max(s, axis=1)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, None])
-        l_next = l_prev * alpha + jnp.sum(p, axis=1)
-
-        m_scratch[...] = jnp.broadcast_to(m_next[:, None], m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next[:, None], l_scratch.shape)
-
-        v_tile = v_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        ss = jax.lax.cond(
+            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
         )
-        acc_scratch[...] = acc_scratch[...] * alpha[:, None] + pv
+
+        for hh, s in enumerate(ss):
+            m_prev = m_scratch[hh, :, 0]
+            l_prev = l_scratch[hh, :, 0]
+            m_cur = jnp.max(s, axis=1)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, None])
+            l_next = l_prev * alpha + jnp.sum(p, axis=1)
+
+            m_scratch[hh] = jnp.broadcast_to(m_next[:, None], m_scratch.shape[1:])
+            l_scratch[hh] = jnp.broadcast_to(l_next[:, None], l_scratch.shape[1:])
+
+            v_tile = v_ref[0, hh]
+            pv = jax.lax.dot_general(
+                p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scratch[hh] = acc_scratch[hh] * alpha[:, None] + pv
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _finalize():
-        l_final = l_scratch[:, 0]
-        # A row can end with l == 0 when *every* k-tile of this call was
-        # skipped (sequence-sharded chunk fully on the other side of the
-        # length boundary): emit 0 output and -inf lse so the cross-chunk
-        # logsumexp combine ignores this shard, instead of 0/0 = NaN.
-        l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
-        o_ref[0, 0] = (acc_scratch[...] / l_safe[:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0, :, 0] = (m_scratch[:, 0] + jnp.log(l_safe)).astype(
-            jnp.float32
-        )
+        for hh in range(hb):
+            l_final = l_scratch[hh, :, 0]
+            # A row can end with l == 0 when *every* k-tile of this call
+            # was skipped (sequence-sharded chunk fully on the other side
+            # of the length boundary): emit 0 output and -inf lse so the
+            # cross-chunk logsumexp combine ignores this shard, instead
+            # of 0/0 = NaN.
+            l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+            o_ref[0, hh] = (acc_scratch[hh] / l_safe[:, None]).astype(o_ref.dtype)
+            lse_ref[0, hh, :, 0] = (
+                m_scratch[hh, :, 0] + jnp.log(l_safe)
+            ).astype(jnp.float32)
 
 
 def _prepare(q, k, rel_table, geometry, block_q, block_k, q_start=0, k_start=0):
@@ -521,26 +566,30 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
         q, k, rel_table, geometry, block_q, block_k, q_start, k_start
     )
+    # Head packing: several heads per grid step divides the fixed
+    # per-step cost (~0.7us on v5e) and shares all head-independent
+    # bias-mask work.  hb=4 measured best at BERT-base geometry.
+    hb = next((h for h in (4, 2) if num_heads % h == 0), 1)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), _im_q, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, head_dim), _im_k, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, head_dim), _im_k, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_q, head_dim), _im_q, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_k, head_dim), _im_k, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_k, head_dim), _im_k, memory_space=pltpu.VMEM),
     ]
     args = [qt, kt, vt]
     if rel_vocab:
         in_specs.append(
-            pl.BlockSpec((1, v_pad, head_dim), lambda b, h, qi, ki, *_: (h, 0, 0),
+            pl.BlockSpec((hb, v_pad, head_dim), lambda b, h, qi, ki, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(rel_h)
 
     kernel = functools.partial(
         _fwd_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
-        block_q=block_q, block_k=block_k, nk=nk,
+        block_q=block_q, block_k=block_k, nk=nk, hb=hb,
         softmax_scale=1.0 / (head_dim**0.5),
     )
     qoff = jnp.stack(
@@ -548,17 +597,17 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(batch, num_heads, nq, nk),
+        grid=(batch, num_heads // hb, nq, nk),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, head_dim), _im_q, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki, *_: (b, h, qi, 0),
+            pl.BlockSpec((1, hb, block_q, head_dim), _im_q, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, block_q, 1), lambda b, h, qi, ki, *_: (b, h, qi, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
+            pltpu.VMEM((hb, block_q, 128), jnp.float32),
+            pltpu.VMEM((hb, block_q, 128), jnp.float32),
+            pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
@@ -604,52 +653,55 @@ def _bwd_dq_kernel(
         def _init_dr():
             dr_acc[...] = jnp.zeros_like(dr_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if rel_vocab:
-        qr = jax.lax.dot_general(
-            q, rel_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s + _tile_bias(
-            qr, meta_ref, t, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, geo, rel_vocab,
-            block_q, block_k,
-        )
-    s = s * softmax_scale
+    q_base = qoff_ref[0] + qi * block_q
+    k_base = qoff_ref[1] + ki * block_k
     length = lengths_ref[b]
 
-    def apply_mask(s):
-        return s + _length_mask_term(
-            length, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, block_q, block_k
+    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if rel_vocab:
+            qr = jax.lax.dot_general(
+                q, rel_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + _tile_bias(
+                qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
+                block_q, block_k,
+            )
+        s = s * softmax_scale
 
-    tile_end = jnp.maximum(
-        qoff_ref[0] + (qi + 1) * block_q, qoff_ref[1] + (ki + 1) * block_k
-    )
-    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+        def apply_mask(s):
+            return s + _length_mask_term(
+                length, q_base, k_base, s.shape, block_q, block_k
+            )
 
-    lse = lse_ref[0, 0, :, 0]  # [bq]
-    p = jnp.exp(s - lse[:, None])
-    do = do_ref[0, 0].astype(jnp.float32)
-    v_tile = v_ref[0, 0].astype(jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    delta = delta_ref[0, 0, :, 0]  # [bq]
-    ds = p * (dp - delta[:, None])  # [bq, bk]
+        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
+        s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
-    dq_acc[...] = dq_acc[...] + jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if rel_vocab:
-        dsv_acc[...] = dsv_acc[...] + _tile_dsv(
-            ds, meta_ref, t, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, v_pad, geo, rel_vocab,
-            block_q, block_k,
+        lse = lse_ref[0, 0, :, 0]  # [bq]
+        p = jnp.exp(s - lse[:, None])
+        do = do_ref[0, 0].astype(jnp.float32)
+        v_tile = v_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        delta = delta_ref[0, 0, :, 0]  # [bq]
+        ds = p * (dp - delta[:, None])  # [bq, bk]
+
+        dq_acc[...] = dq_acc[...] + jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rel_vocab:
+            dsv_acc[...] = dsv_acc[...] + _tile_dsv(
+                ds, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
+                block_q, block_k,
+            )
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _finalize():
@@ -660,7 +712,7 @@ def _bwd_dq_kernel(
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             )
             dr_acc[...] = dr_acc[...] + jax.lax.dot_general(
-                dsv_acc[...], q.astype(jnp.float32),
+                dsv_acc[...], q_ref[0, 0].astype(jnp.float32),
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ) * softmax_scale
         dq_ref[0, 0] = (dq * softmax_scale).astype(dq_ref.dtype)
@@ -691,50 +743,53 @@ def _bwd_dkv_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if rel_vocab:
-        qr = jax.lax.dot_general(
-            q, rel_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s + _tile_bias(
-            qr, meta_ref, t, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, geo, rel_vocab,
-            block_q, block_k,
-        )
-    s = s * softmax_scale
+    q_base = qoff_ref[0] + qi * block_q
+    k_base = qoff_ref[1] + ki * block_k
     length = lengths_ref[b]
 
-    def apply_mask(s):
-        return s + _length_mask_term(
-            length, qoff_ref[0] + qi * block_q, qoff_ref[1] + ki * block_k, s.shape, block_q, block_k
+    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if rel_vocab:
+            qr = jax.lax.dot_general(
+                q, rel_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + _tile_bias(
+                qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
+                block_q, block_k,
+            )
+        s = s * softmax_scale
 
-    tile_end = jnp.maximum(
-        qoff_ref[0] + (qi + 1) * block_q, qoff_ref[1] + (ki + 1) * block_k
-    )
-    s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+        def apply_mask(s):
+            return s + _length_mask_term(
+                length, q_base, k_base, s.shape, block_q, block_k
+            )
 
-    lse = lse_ref[0, 0, :, 0]
-    p = jnp.exp(s - lse[:, None])  # [bq, bk]
-    do = do_ref[0, 0].astype(jnp.float32)
-    v_tile = v_ref[0, 0].astype(jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    delta = delta_ref[0, 0, :, 0]
-    ds = p * (dp - delta[:, None])
+        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
+        s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
 
-    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        lse = lse_ref[0, 0, :, 0]
+        p = jnp.exp(s - lse[:, None])  # [bq, bk]
+        do = do_ref[0, 0].astype(jnp.float32)
+        v_tile = v_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = delta_ref[0, 0, :, 0]
+        ds = p * (dp - delta[:, None])
+
+        dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(qi == pl.num_programs(3) - 1)
     def _finalize():

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--vocab", type=int, default=49)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--block_q", type=int, default=None)
     ap.add_argument("--norel", action="store_true")
     ap.add_argument("--minlen", type=int, default=None,
                     help="min length (default S//2); S => no padding")
@@ -47,7 +48,7 @@ def main():
     def layer(q):
         return pallas_relative_attention(
             q, k, v, rel[0], rel[1], lengths,
-            block_q=args.block, block_k=args.block)
+            block_q=args.block_q or args.block, block_k=args.block)
 
     if args.bwd:
         def f(q):

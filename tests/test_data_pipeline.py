@@ -107,7 +107,7 @@ class TestPretrainLoader:
         path = write_records(str(tmp_path / "train.tfrecord"), 24, rng)
         cfg = MmtPretrainDataConfig(
             **data_kwargs(vocab, input_path=path, tasks="mlm,mpp,itm",
-                          global_batch_size=16, min_shift=2,
+                          global_batch_size=16, min_shift=2, is_training=False,
                           mlm_max_selections_per_seq=8,
                           mpp_max_selections_per_seq=4)
         )
@@ -158,6 +158,40 @@ class TestPretrainLoader:
         assert np.all(batch["patch_embeddings"][0][masked] == 0)
 
 
+class TestItmPostMatchShuffle:
+    def test_positives_and_negatives_mix_within_micro_batches(self, tmp_path):
+        """Training ITM batches run through a post-match shuffle buffer
+        (src/data/pretrain_dataloader.py:213-215), so every micro-batch
+        slice under gradient accumulation mixes labels instead of the
+        matched layout's positives-first halves."""
+        rng = np.random.default_rng(11)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "mix.tfrecord"), 24, rng)
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=path, tasks="mlm,mpp,itm",
+                          global_batch_size=16, min_shift=2,
+                          shuffle_buffer_size=64,
+                          mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+        it = iter(MmtPretrainLoader(cfg).load())
+        micro = 4  # grad-accum micro-batch size
+        mixed = saw_pos = saw_neg = 0
+        for _ in range(4):
+            labels = next(it)["itm_label_ids"]
+            assert labels.shape == (16,)
+            saw_pos += int(labels.sum())
+            saw_neg += int((1 - labels).sum())
+            for j in range(0, 16, micro):
+                chunk = labels[j:j + micro]
+                if 0 < chunk.sum() < micro:
+                    mixed += 1
+        assert saw_pos and saw_neg
+        # With a 64-example buffer, the vast majority of 4-element
+        # micro-batches must contain both classes (deterministic seed).
+        assert mixed >= 12, mixed
+
+
 class TestClassificationLoader:
     def test_labels_and_ratio(self, tmp_path):
         rng = np.random.default_rng(2)
@@ -165,7 +199,8 @@ class TestClassificationLoader:
         path = write_records(str(tmp_path / "c.tfrecord"), 30, rng)
         cfg = MmtClassificationDataConfig(
             **data_kwargs(vocab, input_path=path, global_batch_size=24,
-                          negative_positive_ratio=2, min_shift=2, pos_weight=3.0)
+                          negative_positive_ratio=2, min_shift=2, pos_weight=3.0,
+                          is_training=False)
         )
         batch = next(iter(MmtClassificationLoader(cfg).load()))
         assert batch["label_ids"].shape == (24,)
