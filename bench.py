@@ -25,22 +25,23 @@ import sys
 import time
 
 SEQ_LEN = 4096
-BATCH = 16
+BATCH = 32  # measured best single-chip throughput at 4k
 CPU_BATCH = 1
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_baseline.json")
 
 
-def build(attention_impl: str, compute_dtype: str, batch: int, seed: int = 0):
+def build(attention_impl: str, compute_dtype: str, batch: int, seed: int = 0,
+          seq_len: int = SEQ_LEN):
     import jax
 
     from __graft_entry__ import _flagship_config, _flagship_inputs
     from mmt_tpu.models import MmtClassificationModel
 
-    cfg = _flagship_config(SEQ_LEN, compute_dtype=compute_dtype,
+    cfg = _flagship_config(seq_len, compute_dtype=compute_dtype,
                            attention_impl=attention_impl)
     model = MmtClassificationModel(cfg, num_patch_per_row=14)
-    inputs = _flagship_inputs(batch, SEQ_LEN, seed=seed)
+    inputs = _flagship_inputs(batch, seq_len, seed=seed)
     params = jax.jit(lambda r: model.init(r, **inputs))(jax.random.PRNGKey(0))
 
     @jax.jit
@@ -98,7 +99,7 @@ def cpu_baseline() -> float:
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import bench, json\n"
         "fwd, args = bench.build('xla','float32', bench.CPU_BATCH)\n"
-        "eps = bench.measure(fwd, args, bench.CPU_BATCH, iters=1, warmup=0)\n"
+        "eps = bench.measure(fwd, args, bench.CPU_BATCH, iters=3, warmup=0)\n"
         "print('CPU_RESULT ' + json.dumps(eps))\n"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")

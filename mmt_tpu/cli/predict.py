@@ -103,7 +103,15 @@ def main(argv=None):
     params = restored["params"]
     logging.info("restored checkpoint from %s", args.init_checkpoint)
 
-    step = task.make_inference_step()
+    # Shard scoring over all attached chips (reference distributed
+    # predict, src/tasks/classification.py:302-322).
+    mesh = None
+    if jax.device_count() > 1:
+        from mmt_tpu.parallel import create_mesh
+
+        mesh = create_mesh(num_data=jax.device_count(), num_model=1)
+        logging.info("sharding predict over %d devices", jax.device_count())
+    step = task.make_inference_step(mesh=mesh)
     results = predict(step, params, batches)
     recall = write_results(results, args.test_output_dir)
     print(json.dumps(recall, indent=2))

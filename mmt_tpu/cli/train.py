@@ -50,6 +50,49 @@ def build_experiment_config(args):
     return cfg
 
 
+def warm_start(path: str, params):
+    """Warm start from an init checkpoint, auto-detecting its kind.
+
+    * Orbax directory (ours): full params restore.
+    * TF object checkpoint with word-embedding tables: full MMT
+      conversion (reference ``tf.train.Checkpoint(model).read``,
+      src/tasks/pretraining.py:341-351).
+    * TF object checkpoint without text tables: from-ViT warm start
+      (reference ``*_from_vit`` configs) -- image-relevant encoder
+      params restored (with position-grid interpolation), text tables
+      and heads stay fresh.
+    """
+    import tensorflow as tf
+
+    from mmt_tpu.train.checkpoint import CheckpointManager
+
+    tf_path = path
+    if tf.io.gfile.isdir(path):
+        latest = tf.train.latest_checkpoint(path)
+        tf_path = latest if latest else None
+    elif not tf.io.gfile.exists(path + ".index"):
+        tf_path = None
+
+    if tf_path is None:
+        mgr = CheckpointManager(path)
+        params = mgr.restore(template={"params": params})["params"]
+        logging.info("warm-started from orbax checkpoint %s", path)
+        return params
+
+    from mmt_tpu.train.tf_checkpoint import convert_tf_checkpoint, load_tf_checkpoint
+    from mmt_tpu.train.vit_checkpoint import convert_vit_checkpoint
+
+    tf_vars = load_tf_checkpoint(tf_path)
+    has_text = any("word_embedding" in k for k in tf_vars)
+    if has_text:
+        params = convert_tf_checkpoint(tf_vars, params, strict=False)
+        logging.info("warm-started from TF MMT checkpoint %s", tf_path)
+    else:
+        params = convert_vit_checkpoint(tf_vars, params)
+        logging.info("warm-started from TF ViT checkpoint %s", tf_path)
+    return params
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
@@ -166,10 +209,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     params = task.init(rng, jax.tree.map(lambda x: x, first))
     if cfg.task.init_checkpoint:
-        mgr = CheckpointManager(cfg.task.init_checkpoint)
-        restored = mgr.restore(template={"params": params})
-        params = restored["params"]
-        logging.info("warm-started from %s", cfg.task.init_checkpoint)
+        params = warm_start(cfg.task.init_checkpoint, params)
 
     tx = create_optimizer(cfg.trainer.optimizer_config, cfg.trainer.train_steps)
     state = TrainState.create(params, tx)

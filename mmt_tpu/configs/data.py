@@ -113,3 +113,6 @@ class MmtRetrievalDataConfig(MmtDataConfig):
     text_input_path: str = ""
     num_image_examples: int = 0
     num_text_examples: int = 0
+    # Cross-product RAM bound: decoded text features beyond this count
+    # are re-streamed from disk per image instead of cached.
+    max_cached_text_examples: int = 200_000

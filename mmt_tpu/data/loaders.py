@@ -402,17 +402,39 @@ class MmtRetrievalLoader(_BaseLoader):
                 yield self._decode(payload, rng, False)
             return
         # Cross product: image-major outer loop (parity with the reference's
-        # nested interleave, retrieval_dataloader.py:139-195).
+        # nested interleave, retrieval_dataloader.py:139-195).  Decoded
+        # text features are cached up to ``max_cached_text_examples``;
+        # larger pools (WIT-scale) stream the tail from disk per image,
+        # bounding host RAM at the cost of re-decoding.
         image_files = _glob_shard(cfg.image_input_path, 0, 1)
         text_files = _glob_shard(cfg.text_input_path, 0, 1)
+        cap = cfg.max_cached_text_examples
         texts = []
+        overflow = False
         for tf_path in text_files:
             for payload in TFRecordReader(tf_path):
-                texts.append(self._decode(payload, rng, False))
+                if len(texts) < cap:
+                    texts.append(self._decode(payload, rng, False))
+                else:
+                    overflow = True
+                    break
+            if overflow:
+                break
+
+        def text_iter():
+            yield from texts
+            if overflow:
+                seen = 0
+                for tf_path in text_files:
+                    for payload in TFRecordReader(tf_path):
+                        seen += 1
+                        if seen > len(texts):
+                            yield self._decode(payload, rng, False)
+
         for img_path in image_files:
             for payload in TFRecordReader(img_path):
                 img = self._decode(payload, rng, False)
-                for txt in texts:
+                for txt in text_iter():
                     yield AssembledExample(
                         patch_token_ids=img.patch_token_ids,
                         text_token_words=txt.text_token_words,

@@ -10,9 +10,11 @@ the compiler place collectives).
 
 Usage: shard the token-indexed inputs with ``sequence_sharding(mesh)``
 and constrain activations via ``constrain_tokens``; the dense (XLA)
-attention path partitions automatically.  The fused Pallas kernel path
-is currently data-parallel only (a shard_map ring variant is the planned
-follow-up; see README perf notes).
+attention path partitions automatically.  The fused Pallas kernel also
+runs sequence-sharded via ``ops.pallas_attention``'s shard_map wrappers:
+``sequence_sharded_pallas_attention`` (one K/V all-gather) and
+``ring_sequence_sharded_pallas_attention`` (ppermute ring, O(S/n) K/V
+residency), both differentiable.
 """
 
 from __future__ import annotations

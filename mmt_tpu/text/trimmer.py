@@ -1,10 +1,16 @@
 """Round-robin budget trimming across multiple text fields.
 
 Re-provides ``tensorflow_text.RoundRobinTrimmer`` capability (call site
-``src/data/data_utils.py:121, 259``): given several word-aligned token
-lists and a total wordpiece budget, allocate the budget one *item*
-(word) at a time round-robin across fields, so each field keeps its
-leading words and short fields cede budget to long ones.
+``src/data/data_utils.py:121, 259``): the budget is allocated one
+*wordpiece* (ragged leaf element) at a time, round-robin across fields
+-- field 0 gets the first unit of every round, so earlier fields win
+the final partial round -- until ``max_seq_length`` total wordpieces
+are kept or every field is exhausted.  Each field then keeps its first
+``budget_i`` wordpieces, which can split a word mid-way (the trimmer
+operates on the innermost ragged axis, not on word boundaries).
+
+These semantics (element-level allocation + left-to-right tie-break +
+mid-word splits) are pinned by goldens in ``tests/test_text.py``.
 """
 
 from __future__ import annotations
@@ -12,37 +18,51 @@ from __future__ import annotations
 from typing import List, Sequence
 
 
+def _round_robin_budgets(lengths: Sequence[int], total: int) -> List[int]:
+    """Unit-per-round water filling with left-to-right partial rounds."""
+    budgets = [0] * len(lengths)
+    remaining = total
+    while remaining > 0:
+        gave = False
+        for i, n in enumerate(lengths):
+            if budgets[i] < n:
+                budgets[i] += 1
+                remaining -= 1
+                gave = True
+                if remaining == 0:
+                    break
+        if not gave:
+            break
+    return budgets
+
+
 def round_robin_trim(
     fields: Sequence[List[List[int]]], max_total_wordpieces: int
 ) -> List[List[List[int]]]:
-    """Trims fields (word-aligned) to a shared wordpiece budget.
+    """Trims word-aligned fields to a shared wordpiece budget.
 
-    Budget accounting is per *wordpiece* while allocation granularity is
-    per *word*: a word is kept only if all its wordpieces fit in the
-    remaining budget; once a field's next word does not fit (or the field
-    is exhausted) that field stops receiving budget.
+    Args:
+      fields: per-field lists of words, each word a list of wordpiece ids.
+      max_total_wordpieces: total budget across all fields.
 
-    Returns new word-aligned lists (leading words of each field).
+    Returns:
+      New word-aligned lists: each field keeps its first ``budget_i``
+      wordpieces; a word at the cut keeps only its leading pieces.
     """
-    keep_counts = [0] * len(fields)
-    remaining = max_total_wordpieces
-    active = [True] * len(fields)
-    while any(active) and remaining > 0:
-        progressed = False
-        for i, field in enumerate(fields):
-            if not active[i]:
-                continue
-            j = keep_counts[i]
-            if j >= len(field):
-                active[i] = False
-                continue
-            cost = len(field[j])
-            if cost <= remaining:
-                keep_counts[i] += 1
-                remaining -= cost
-                progressed = True
+    lengths = [sum(len(w) for w in field) for field in fields]
+    budgets = _round_robin_budgets(lengths, max_total_wordpieces)
+
+    out: List[List[List[int]]] = []
+    for field, budget in zip(fields, budgets):
+        kept: List[List[int]] = []
+        for word in field:
+            if budget <= 0:
+                break
+            if len(word) <= budget:
+                kept.append(word)
+                budget -= len(word)
             else:
-                active[i] = False
-        if not progressed:
-            break
-    return [field[: keep_counts[i]] for i, field in enumerate(fields)]
+                kept.append(word[:budget])
+                budget = 0
+        out.append(kept)
+    return out

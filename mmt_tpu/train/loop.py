@@ -16,7 +16,6 @@ import time
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
-import numpy as np
 
 from mmt_tpu.configs.experiments import TrainerConfig
 from mmt_tpu.train.checkpoint import BestCheckpointExporter, CheckpointManager
@@ -34,13 +33,20 @@ def _finalize_metrics(metric_sums: Dict) -> Dict[str, float]:
 
 
 class SummaryWriter:
-    """Minimal scalar summary log (jsonl; tensorboard-free observability)."""
+    """Minimal scalar summary log (jsonl; tensorboard-free observability).
+
+    Multi-host: only process 0 writes (all processes compute the same
+    globally-reduced metric values)."""
 
     def __init__(self, log_dir: str, name: str):
-        os.makedirs(log_dir, exist_ok=True)
+        self._enabled = jax.process_index() == 0
+        if self._enabled:
+            os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, f"{name}_summaries.jsonl")
 
     def write(self, step: int, metrics: Dict[str, float]) -> None:
+        if not self._enabled:
+            return
         with open(self._path, "a") as f:
             f.write(json.dumps({"step": step, **metrics}) + "\n")
 
@@ -89,24 +95,28 @@ def run_training(
         start_step = latest
         logger.info("resumed from checkpoint at step %d", latest)
 
-    window_metrics: Dict[str, np.ndarray] = {}
+    # Metric accumulation stays ON DEVICE between loop boundaries: the
+    # (total, count) pairs are jax arrays and the additions below enqueue
+    # asynchronously, so the host never blocks mid-window and XLA keeps
+    # the step pipeline full (the reference's steps_per_loop design;
+    # fetching per step was measured to cap steps/sec on real TPU).
+    window_metrics: Dict = {}
     t_loop = time.perf_counter()
     for step_idx in range(start_step, trainer.train_steps):
         batch = place_batch(next(train_iter))
         state, metric_sums = train_step(state, batch, jax.random.fold_in(rng, step_idx))
         for name, pair in metric_sums.items():
-            if name in window_metrics:
-                window_metrics[name] = (
-                    window_metrics[name][0] + np.asarray(pair[0]),
-                    window_metrics[name][1] + np.asarray(pair[1]),
-                )
-            else:
-                window_metrics[name] = (np.asarray(pair[0]), np.asarray(pair[1]))
+            prev = window_metrics.get(name)
+            window_metrics[name] = pair if prev is None else (
+                prev[0] + pair[0], prev[1] + pair[1]
+            )
 
         step = step_idx + 1
         if step % trainer.steps_per_loop == 0 or step == trainer.train_steps:
-            dt = time.perf_counter() - t_loop
+            # The float() conversions in _finalize_metrics are the one
+            # device->host sync point of the window.
             finalized = _finalize_metrics(window_metrics)
+            dt = time.perf_counter() - t_loop
             finalized["steps_per_sec"] = trainer.steps_per_loop / dt
             logger.info("step %d: %s", step, finalized)
             window_metrics = {}

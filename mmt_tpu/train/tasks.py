@@ -231,7 +231,13 @@ class ClassificationTask:
             loss = losses_lib.weighted_sparse_categorical_crossentropy_loss(
                 logits, labels, weights, pos_weights
             )
-        correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        if self.num_classes == 1:
+            # Binary head: one logit per example; accuracy thresholds the
+            # sigmoid at 0.5 (argmax over a singleton dim is meaningless).
+            pred = (logits.reshape(-1) > 0).astype(labels.dtype)
+            correct = (pred == labels).astype(jnp.float32)
+        else:
+            correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
         metrics = {
             "cls_loss": (loss, 1.0),
             "cls_accuracy": (
@@ -270,21 +276,53 @@ class ClassificationTask:
 
         return jax.jit(step)
 
-    def make_inference_step(self):
+    def make_inference_step(self, mesh=None):
         """Jitted (params, batch) -> scores, with the reference's logit
         conversion (sigmoid / softmax[:,1] / argmax;
-        ``src/tasks/classification.py:286-293``)."""
+        ``src/tasks/classification.py:286-293``).
 
-        @functools.partial(jax.jit)
-        def step(params, batch):
-            outputs = self.model.apply(
-                params, **_model_inputs(batch), deterministic=True
-            )
+        With ``mesh``, scoring shards over the 'data' axis (GSPMD): the
+        multi-chip analog of the reference's distributed predict
+        (``src/tasks/classification.py:302-322``,
+        ``orbit.utils.make_distributed_dataset``).  Batches must be
+        divisible by the data-axis size; the retrieval loader's padded
+        final batch + ``valid`` mask already guarantee static shapes.
+        """
+
+        def fwd(params, inputs):
+            outputs = self.model.apply(params, **inputs, deterministic=True)
             logits = outputs[self.logits_key]
             if self.num_classes == 1:
                 return jax.nn.sigmoid(logits.reshape(-1))
             if self.num_classes == 2:
                 return jax.nn.softmax(logits, axis=-1)[:, 1]
             return jnp.argmax(logits, axis=-1).astype(jnp.float32)
+
+        if mesh is None:
+            jitted = jax.jit(fwd)
+
+            def step(params, batch):
+                return jitted(params, _model_inputs(batch))
+
+            return step
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data = NamedSharding(mesh, PartitionSpec("data"))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        jitted = jax.jit(fwd, in_shardings=(replicated, data), out_shardings=data)
+        n_data = mesh.shape["data"]
+
+        def step(params, batch):
+            inputs = _model_inputs(batch)
+            b = next(iter(inputs.values())).shape[0]
+            if b % n_data:
+                raise ValueError(
+                    f"predict batch ({b}) must be divisible by the data-axis "
+                    f"size ({n_data})"
+                )
+            params = jax.device_put(params, replicated)
+            inputs = {k: jax.device_put(v, data) for k, v in inputs.items()}
+            return jitted(params, inputs)
 
         return step

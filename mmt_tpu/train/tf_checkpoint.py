@@ -52,6 +52,49 @@ DEFAULT_RULES: List[Tuple[str, str]] = [
     (r"encoder/_?pooler_layer/bias", "encoder/pooler_transform/bias"),
 ]
 
+# Pinned rules for the etcmodel ``RelativeTransformerLayers`` internals
+# (reference compute core, ``src/modeling/models/mmt_encoder.py:124-135``).
+# The layer keeps per-layer sublayer *lists*, which TF object checkpoints
+# serialize as numeric children; projection sublayers follow the
+# ``{query,key,value,output}_projection`` naming and the relative bias
+# table is ``relative_emb_table`` (etcmodel layers/attention.py API
+# surface, SURVEY.md section 2.3).  Exact upstream attribute names cannot
+# be re-verified in this offline environment; checkpoints whose layout
+# differs fall through to the unique-(suffix, shape) pass and its
+# readable unmatched report -- extend ``extra_rules`` from there.
+# Templates may use regex group references (\1 = layer index).
+ETCMODEL_RULES: List[Tuple[str, str]] = [
+    (r"encoder/(?:_?transformer_layers/)?attention_layers/(\d+)"
+     r"/(?:[a-z_]+/)?query_projection/(kernel|bias)",
+     r"encoder/transformer/layer_\1/attention/query/\2"),
+    (r"encoder/(?:_?transformer_layers/)?attention_layers/(\d+)"
+     r"/(?:[a-z_]+/)?key_projection/(kernel|bias)",
+     r"encoder/transformer/layer_\1/attention/key/\2"),
+    (r"encoder/(?:_?transformer_layers/)?attention_layers/(\d+)"
+     r"/(?:[a-z_]+/)?value_projection/(kernel|bias)",
+     r"encoder/transformer/layer_\1/attention/value/\2"),
+    (r"encoder/(?:_?transformer_layers/)?attention_layers/(\d+)"
+     r"/(?:[a-z_]+/)?output_projection/(kernel|bias)",
+     r"encoder/transformer/layer_\1/attention/output/\2"),
+    (r"encoder/(?:_?transformer_layers/)?attention_layers/(\d+)"
+     r"/(?:[a-z_]+/)?relative_emb_table",
+     r"encoder/transformer/layer_\1/attention/relative_emb_table"),
+    (r"encoder/(?:_?transformer_layers/)?attention_norm_layers/(\d+)/gamma",
+     r"encoder/transformer/layer_\1/attention_layer_norm/scale"),
+    (r"encoder/(?:_?transformer_layers/)?attention_norm_layers/(\d+)/beta",
+     r"encoder/transformer/layer_\1/attention_layer_norm/bias"),
+    (r"encoder/(?:_?transformer_layers/)?feed_forward_norm_layers/(\d+)/gamma",
+     r"encoder/transformer/layer_\1/ffn_layer_norm/scale"),
+    (r"encoder/(?:_?transformer_layers/)?feed_forward_norm_layers/(\d+)/beta",
+     r"encoder/transformer/layer_\1/ffn_layer_norm/bias"),
+    (r"encoder/(?:_?transformer_layers/)?feed_forward_layers/(\d+)"
+     r"/(?:[a-z_]+/)?intermediate(?:_dense)?/(kernel|bias)",
+     r"encoder/transformer/layer_\1/intermediate/\2"),
+    (r"encoder/(?:_?transformer_layers/)?feed_forward_layers/(\d+)"
+     r"/(?:[a-z_]+/)?output(?:_dense)?/(kernel|bias)",
+     r"encoder/transformer/layer_\1/ffn_output/\2"),
+]
+
 
 def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Reads every variable from a TF checkpoint into {normalized_path: array}."""
@@ -91,7 +134,7 @@ def convert_tf_checkpoint(
     import flax
 
     flat_target = _flatten(target_params)
-    rules = DEFAULT_RULES + (extra_rules or [])
+    rules = DEFAULT_RULES + ETCMODEL_RULES + (extra_rules or [])
 
     assigned: Dict[Tuple[str, ...], np.ndarray] = {}
     used_src = set()
@@ -109,11 +152,12 @@ def convert_tf_checkpoint(
         used_src.add(src)
         return True
 
-    # Pass 1: explicit rules.
+    # Pass 1: explicit rules (templates may use regex group references).
     for src, value in tf_vars.items():
         for pattern, template in rules:
-            if re.fullmatch(pattern, src):
-                try_assign(tuple(template.split("/")), value, src)
+            m = re.fullmatch(pattern, src)
+            if m:
+                try_assign(tuple(m.expand(template).split("/")), value, src)
                 break
 
     # Pass 2: unique (suffix, shape) matching for the rest.
@@ -146,7 +190,13 @@ def convert_tf_checkpoint(
         if candidates:
             candidates.sort(reverse=True)
             if len(candidates) == 1 or candidates[0][0] > candidates[1][0]:
-                try_assign(candidates[0][1], value, src)
+                if try_assign(candidates[0][1], value, src):
+                    logger.warning(
+                        "tf_checkpoint: no pinned rule for %r; assigned to "
+                        "%s by unique suffix+shape match -- verify, and pin "
+                        "with extra_rules if correct", src,
+                        "/".join(candidates[0][1]),
+                    )
 
     missing = [p for p in flat_target if p not in assigned]
     if missing:

@@ -261,6 +261,31 @@ class TestRetrievalLoader:
         assert np.all(batches[0]["label_ids"] == 1)  # paired: img==gt
 
 
+
+    def test_cross_product_streams_beyond_text_cache(self, tmp_path):
+        """With max_cached_text_examples below the pool size, the tail is
+        re-streamed from disk and the output is identical."""
+        rng = np.random.default_rng(3)
+        vocab = make_vocab(tmp_path)
+        imgs = write_records(
+            str(tmp_path / "i2.tfrecord"), 2, rng, with_indices=True, image_only=True
+        )
+        txts = write_records(
+            str(tmp_path / "t2.tfrecord"), 5, rng, with_indices=True, text_only=True
+        )
+        kw = data_kwargs(vocab, image_input_path=imgs, text_input_path=txts,
+                         num_image_examples=2, num_text_examples=5,
+                         global_batch_size=4, is_training=False)
+        full = list(MmtRetrievalLoader(
+            MmtRetrievalDataConfig(**kw, max_cached_text_examples=100)).load())
+        capped = list(MmtRetrievalLoader(
+            MmtRetrievalDataConfig(**kw, max_cached_text_examples=2)).load())
+        assert len(full) == len(capped)
+        for a, b in zip(full, capped):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 class TestDeterminism:
     def test_same_seed_same_batches(self, tmp_path):
         rng = np.random.default_rng(5)

@@ -136,6 +136,23 @@ class TestRetrievalEndToEnd:
         for v in recall.values():
             assert 0.0 <= float(v) <= 1.0
 
+        # Multi-chip scoring (GSPMD over the 'data' axis; reference
+        # distributed predict, src/tasks/classification.py:302-322)
+        # produces byte-identical outputs on the 8-device mesh.
+        from mmt_tpu.parallel import create_mesh
+
+        mesh = create_mesh(num_data=jax.device_count(), num_model=1)
+        sharded_step = task.make_inference_step(mesh=mesh)
+        out_dir2 = str(tmp_path / "out_sharded")
+        recall2 = write_results(
+            predict(sharded_step, params, loader.load()), out_dir2
+        )
+        assert recall2 == recall
+        assert (
+            open(os.path.join(out_dir2, "results.csv"), "rb").read()
+            == open(os.path.join(out_dir, "results.csv"), "rb").read()
+        )
+
 
 class TestCheckpointChain:
     def test_pretrain_to_finetune_restore(self, tmp_path):

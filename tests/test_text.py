@@ -35,21 +35,31 @@ class TestWordpiece:
         flat = [VOCAB[i] for w in words for i in w]
         assert flat == ["[UNK]", "[CLS]", "[unused99]", "un", "##aff", "##able"]
 
-    def test_matches_huggingface_bert(self):
+    def test_matches_huggingface_bert(self, tmp_path):
+        """Algorithm cross-check vs HuggingFace's BertTokenizer built
+        from a local vocab (works in the zero-egress environment; the
+        WordPiece algorithm, not the released vocab, is what's pinned).
+        """
         transformers = pytest.importorskip("transformers")
-        try:
-            hf = transformers.BertTokenizer.from_pretrained(
-                "bert-base-uncased", local_files_only=True
-            )
-        except Exception:
-            pytest.skip("no cached bert-base-uncased (zero-egress environment)")
-        ours = BertTokenizer(hf.vocab)
+        vocab = VOCAB + [
+            "multi", "##modal", "transform", "##er", "##res", "encode",
+            "image", "text", "and", "caps", "12", "##34", "56", ".", "78",
+            "9", "##,", "000", "naive", "cafe", "resume", "&", "...",
+            "spacing", "weird", "s", "##pace",
+        ]
+        p = tmp_path / "hf_vocab.txt"
+        p.write_text("\n".join(vocab) + "\n")
+        hf = transformers.BertTokenizer(
+            str(p), do_lower_case=True, do_basic_tokenize=True
+        )
+        ours = BertTokenizer(str(p))
         for text in [
             "The quick brown fox jumps over the lazy dog!",
             "Multimodal transformers encode images & text, efficiently.",
             "weird   spacing\tand CAPS and punctuation...",
             "naïve café résumé",
             "1234 56.78 9,000",
+            "unaffable hello, world!",
         ]:
             got = [t for w in ours.tokenize(text) for t in w]
             want = hf.convert_tokens_to_ids(hf.tokenize(text))
@@ -57,15 +67,38 @@ class TestWordpiece:
 
 
 class TestTrimmer:
-    def test_round_robin(self):
-        f1 = [[1, 2], [3], [4, 5, 6]]  # words of 2,1,3 wp
-        f2 = [[7], [8, 9]]
+    """Goldens for tensorflow_text.RoundRobinTrimmer semantics
+    (src/data/data_utils.py:121, 256-267): the budget is allocated one
+    *wordpiece* per field per round (left-to-right partial rounds) and
+    truncation happens on the innermost ragged axis, splitting words."""
+
+    def test_round_robin_element_level(self):
+        f1 = [[1, 2], [3], [4, 5, 6]]  # 6 wordpieces
+        f2 = [[7], [8, 9]]  # 3 wordpieces
         out = round_robin_trim([f1, f2], 5)
-        # Round 1: f1 word0 (2wp, rem 3), f2 word0 (1wp, rem 2);
-        # Round 2: f1 word1 (1wp, rem 1), f2 word1 needs 2 -> stop f2;
-        # Round 3: f1 word2 needs 3 -> stop. Total = 2+1+1 = 4 wp.
+        # Unit rounds: (f1,f2)x3 -> budgets f1=3, f2=2.
         assert out[0] == [[1, 2], [3]]
-        assert out[1] == [[7]]
+        assert out[1] == [[7], [8]]  # second word split mid-way
+
+    def test_partial_round_prefers_earlier_fields(self):
+        f1 = [[1], [2], [3]]
+        f2 = [[4], [5], [6]]
+        out = round_robin_trim([f1, f2], 3)
+        # Rounds: f1+1, f2+1, f1+1 (budget gone) -> f1=2, f2=1.
+        assert out[0] == [[1], [2]]
+        assert out[1] == [[4]]
+
+    def test_exhausted_field_cedes_budget(self):
+        f1 = [[1, 2, 3, 4]]  # 4 wp
+        f2 = [[5]]  # 1 wp
+        out = round_robin_trim([f1, f2], 4)
+        # f2 exhausts after round 1; f1 absorbs the rest: f1=3, f2=1.
+        assert out[0] == [[1, 2, 3]]  # word split after 3 pieces
+        assert out[1] == [[5]]
+
+    def test_mid_word_split_single_field(self):
+        out = round_robin_trim([[[1, 2], [3, 4, 5]]], 3)
+        assert out == [[[1, 2], [3]]]
 
     def test_no_budget(self):
         out = round_robin_trim([[[1]], [[2]]], 0)
