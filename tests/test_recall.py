@@ -1,0 +1,119 @@
+"""Golden-fixture conformance test for mmt_tpu.eval.recall.
+
+The expected dict below was produced by executing the reference recall
+algorithm (src/prediction_helper.py:29-89: pandas pivot_table with mean
+aggregation, NaN -> -1 scores / 0 gt, double-argsort descending ranks,
+gt-weighted rank-at-k hit test) on this exact fixture.  The fixture is
+deliberately adversarial: partial pools (missing pairs), duplicate
+(image, text) observations with disagreeing scores (averaged), exact
+score ties (rank order decided by numpy's sort, which both
+implementations share), one text whose ground-truth image is outside
+its scored pool, and an image that is nobody's ground truth.
+"""
+
+import pandas as pd
+
+from mmt_tpu.eval.recall import get_recall_at_k_from_dataframe
+
+# (image_index, text_index, gt_image_index, output)
+ROWS = [
+    (0, 0, 0, 0.3),
+    (3, 0, 0, 0.87),
+    (4, 0, 0, 0.01),
+    (5, 0, 0, 0.82),
+    (0, 1, 1, 0.28),
+    (3, 1, 1, 0.25),
+    (4, 1, 1, 0.45),
+    (5, 1, 1, 0.5),
+    (1, 2, 2, 0.99),
+    (2, 2, 2, 0.22),
+    (4, 2, 2, 0.16),
+    (5, 2, 2, 0.61),
+    (3, 3, 3, 0.47),
+    (1, 3, 3, 0.92),
+    (2, 3, 3, 0.63),
+    (4, 3, 3, 0.51),
+    (0, 4, 4, 0.69),
+    (1, 4, 4, 0.2),
+    (4, 4, 4, 0.37),
+    (5, 4, 4, 0.0),
+    (0, 5, 5, 0.88),
+    (2, 5, 5, 0.51),
+    (3, 5, 5, 0.85),
+    (4, 5, 5, 0.64),
+    (0, 6, 0, 0.87),
+    (2, 6, 0, 0.36),
+    (4, 6, 0, 0.6),
+    (5, 6, 0, 0.06),
+    (1, 7, 1, 0.82),
+    (2, 7, 1, 0.38),
+    (3, 7, 1, 0.98),
+    (4, 7, 1, 0.59),
+    (1, 8, 2, 0.44),
+    (2, 8, 2, 0.24),
+    (3, 8, 2, 0.4),
+    (4, 8, 2, 0.1),
+    (3, 9, 3, 0.3),
+    (1, 9, 3, 0.87),
+    (4, 9, 3, 0.66),
+    (5, 9, 3, 0.13),
+    (2, 10, 4, 0.15),
+    (3, 10, 4, 0.19),
+    (4, 10, 4, 0.93),
+    (5, 10, 4, 0.55),
+    (0, 11, 99, 0.57),
+    (1, 11, 99, 0.38),
+    (2, 11, 99, 0.41),
+    (4, 11, 99, 0.24),
+    # exact score tie with (0, 1)'s 0.28:
+    (5, 1, 1, 0.28),
+    # duplicate (0, 0) observations -> pivot_table-mean averaging:
+    (0, 0, 0, 0.9),
+    (0, 0, 0, 0.1),
+]
+
+GOLD = {
+    "i2t @  1": "0.2000",
+    "i2t @  3": "0.4000",
+    "i2t @  5": "0.8000",
+    "i2t @ 10": "1.0000",
+    "t2i @  1": "0.2222",
+    "t2i @  3": "0.8889",
+    "t2i @  5": "1.0000",
+    "t2i @ 10": "1.0000",
+}
+
+
+def _df():
+    return pd.DataFrame(
+        ROWS, columns=["image_index", "text_index", "gt_image_index", "output"]
+    )
+
+
+class TestRecallGolden:
+    def test_matches_reference_algorithm(self):
+        result = get_recall_at_k_from_dataframe(_df())
+        assert dict(result) == GOLD
+        # key order matters for recall.json byte-parity: all i2t then t2i
+        assert list(result) == list(GOLD)
+
+    def test_does_not_mutate_input(self):
+        df = _df()
+        cols = list(df.columns)
+        get_recall_at_k_from_dataframe(df)
+        assert list(df.columns) == cols  # reference adds 'positive'; fixed
+
+    def test_perfect_oracle(self):
+        df = _df()
+        df["output"] = (df["image_index"] == df["gt_image_index"]).astype(float)
+        result = get_recall_at_k_from_dataframe(df)
+        # every query with in-pool gt retrieves it at rank 1... except
+        # images with multiple gt texts can only put one text at rank 1,
+        # but i2t counts ANY gt in top-k, and all gt texts score 1.0 so
+        # they occupy the top ranks: recall@1 still hits via the tie
+        # ordering only when a gt text lands rank 1 -- with 0/1 scores
+        # every gt text outranks every negative, so @1 is a hit iff the
+        # argsort puts a gt last among the 1.0 ties, which it does (all
+        # ties are gt).  Net: i2t/t2i @1 == 1.0 for queries with gt.
+        assert result["i2t @  1"] == "1.0000"
+        assert result["t2i @  1"] == "1.0000"
