@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -286,7 +287,11 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
                 sel.append(jnp.where(tt, bias, jnp.where(xor, cross, 0.0)))
             biases = sel
         else:
-            biases = [jnp.where(tt, bias, 0.0) for bias in biases]
+            # Multiply form: measured ~15% cheaper than the select on the
+            # remote Mosaic compiler (the i1->f32 convert is shared across
+            # heads; a [bq, bk] select costs ~5x a multiply).
+            ttf = tt.astype(biases[0].dtype)
+            biases = [bias * ttf for bias in biases]
 
         def image_bias(biases):
             i_pos = q_base + ii
@@ -307,82 +312,92 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
     return biases
 
 
-def _tile_bias(qr, meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q,
-               block_k):
-    """Single-head relative bias tile (backward kernels)."""
-    return _tile_bias_multi(
-        [qr], meta_ref, t, q_base, k_base, shape, geo, rel_vocab, block_q,
-        block_k,
-    )[0]
-
-
-def _tile_dsv(ds, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab, block_q, block_k):
-    """Backward of the bias gather: dsv[i, v] = sum_j ds[i, j] * [id(i,j)=v].
-
-    Mirrors ``_tile_bias`` structure: per-column contributions are masked
-    row-sums of ds scattered into lane v of a [bq, V_pad] accumulator.
-    """
+def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
+                    block_q, block_k):
+    """Multi-head ``_tile_dsv``: one set of position masks (iotas,
+    compares, i1->f32 converts) shared by all packed heads; the per-head
+    work is a multiply + row-sum per id class (multiply form -- a
+    [bq, bk] select costs ~5x a multiply on this compiler)."""
+    dtype = dss[0].dtype
     dtd = geo.text_max_distance
     img_len = geo.image_len
-    bq = ds.shape[0]
+    bq = dss[0].shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (bq, v_pad), 1)
 
     def col(vid, rowsum):
         return jnp.where(lane == vid, rowsum[:, None], 0.0)
 
     def far_dsv():
-        rowsum = jnp.sum(ds, axis=1)
-        is_right = (meta_ref[t, 3] == 0).astype(ds.dtype)
-        return col(dtd, rowsum * is_right) + col(2 * dtd, rowsum * (1.0 - is_right))
+        is_right = (meta_ref[t, 3] == 0).astype(dtype)
+        out = []
+        for ds in dss:
+            rowsum = jnp.sum(ds, axis=1)
+            out.append(col(dtd, rowsum * is_right)
+                       + col(2 * dtd, rowsum * (1.0 - is_right)))
+        return tuple(out)
 
     def general_dsv():
-        i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 0)
-        j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
+        shape = dss[0].shape
+        i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         offs = j_pos - i_pos
-        text_pair = (i_pos >= img_len) & (j_pos >= img_len) if img_len else None
-        ds_t = jnp.where(text_pair, ds, 0.0) if text_pair is not None else ds
+        if img_len:
+            tpf = ((i_pos >= img_len) & (j_pos >= img_len)).astype(dtype)
+            ds_ts = [ds * tpf for ds in dss]
+        else:
+            ds_ts = list(dss)
 
-        dsv = col(dtd, jnp.sum(jnp.where(offs > dtd, ds_t, 0.0), axis=1))
-        dsv = dsv + col(
-            2 * dtd, jnp.sum(jnp.where(offs < -dtd, ds_t, 0.0), axis=1)
-        )
+        rightf = (offs > dtd).astype(dtype)
+        leftf = (offs < -dtd).astype(dtype)
+        dsvs = [
+            col(dtd, jnp.sum(ds_t * rightf, axis=1))
+            + col(2 * dtd, jnp.sum(ds_t * leftf, axis=1))
+            for ds_t in ds_ts
+        ]
 
-        def band_dsv(dsv):
+        def band_dsv(dsvs):
+            out = list(dsvs)
             for off_val in range(-dtd, dtd + 1):
                 vid = _clip_vid(off_val, dtd)
-                dsv = dsv + col(
-                    vid, jnp.sum(jnp.where(offs == off_val, ds_t, 0.0), axis=1)
-                )
-            return dsv
+                mf = (offs == off_val).astype(dtype)
+                for hh, ds_t in enumerate(ds_ts):
+                    out[hh] = out[hh] + col(vid, jnp.sum(ds_t * mf, axis=1))
+            return tuple(out)
 
-        dsv = jax.lax.cond(
-            meta_ref[t, 0] <= meta_ref[t, 1], band_dsv, lambda x: x, dsv
+        dsvs = jax.lax.cond(
+            meta_ref[t, 0] <= meta_ref[t, 1], band_dsv,
+            lambda x: tuple(x), tuple(dsvs),
         )
 
         if img_len:
-            def image_dsv(dsv):
+            def image_dsv(dsvs):
                 ids2d = _image_ids_2d(i_pos, j_pos, geo)
-                imask = (i_pos < img_len) & (j_pos < img_len)
-                ds_i = jnp.where(imask, ds, 0.0)
+                imf = ((i_pos < img_len) & (j_pos < img_len)).astype(dtype)
+                ds_is = [ds * imf for ds in dss]
+                out = list(dsvs)
                 for vid in range(min(geo.num_image_ids, rel_vocab)):
-                    dsv = dsv + col(
-                        vid, jnp.sum(jnp.where(ids2d == vid, ds_i, 0.0), axis=1)
-                    )
-                return dsv
+                    mf = (ids2d == vid).astype(dtype)
+                    for hh, ds_i in enumerate(ds_is):
+                        out[hh] = out[hh] + col(vid, jnp.sum(ds_i * mf, axis=1))
+                return tuple(out)
 
-            dsv = jax.lax.cond(meta_ref[t, 2] == 1, image_dsv, lambda x: x, dsv)
+            dsvs = jax.lax.cond(
+                meta_ref[t, 2] == 1, image_dsv, lambda x: tuple(x), dsvs
+            )
 
             if geo.text_part_id < rel_vocab:
-                m = (i_pos < img_len) & (j_pos >= img_len)
-                dsv = dsv + col(
-                    geo.text_part_id, jnp.sum(jnp.where(m, ds, 0.0), axis=1)
+                mf = ((i_pos < img_len) & (j_pos >= img_len)).astype(dtype)
+                dsvs = tuple(
+                    dsv + col(geo.text_part_id, jnp.sum(ds * mf, axis=1))
+                    for dsv, ds in zip(dsvs, dss)
                 )
             if geo.image_part_id < rel_vocab:
-                m = (i_pos >= img_len) & (j_pos < img_len)
-                dsv = dsv + col(
-                    geo.image_part_id, jnp.sum(jnp.where(m, ds, 0.0), axis=1)
+                mf = ((i_pos >= img_len) & (j_pos < img_len)).astype(dtype)
+                dsvs = tuple(
+                    dsv + col(geo.image_part_id, jnp.sum(ds * mf, axis=1))
+                    for dsv, ds in zip(dsvs, dss)
                 )
-        return dsv
+        return tuple(dsvs)
 
     return jax.lax.cond(meta_ref[t, 3] == 2, general_dsv, far_dsv)
 
@@ -568,8 +583,10 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     )
     # Head packing: several heads per grid step divides the fixed
     # per-step cost (~0.7us on v5e) and shares all head-independent
-    # bias-mask work.  hb=4 measured best at BERT-base geometry.
-    hb = next((h for h in (4, 2) if num_heads % h == 0), 1)
+    # bias-mask work.  hb=4 measured best at BERT-base geometry
+    # (MMT_ATTN_HB overrides for experiments).
+    hb_pref = int(os.environ.get("MMT_ATTN_HB", "4"))
+    hb = next((h for h in (hb_pref, 4, 2) if h > 0 and num_heads % h == 0), 1)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -629,7 +646,7 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
 def _bwd_dq_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
-    geo, rel_vocab, v_pad, block_q, block_k, nk, softmax_scale,
+    geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
 ):
     if rel_vocab:
         rel_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc = rest
@@ -659,73 +676,92 @@ def _bwd_dq_kernel(
 
     @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
     def _body():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if rel_vocab:
-            qr = jax.lax.dot_general(
-                q, rel_ref[0], (((1,), (1,)), ((), ())),
+        qs = [q_ref[0, hh] for hh in range(hb)]
+        ks = [k_ref[0, hh] for hh in range(hb)]
+        ss = [
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s + _tile_bias(
-                qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
-                block_q, block_k,
+            for q, k in zip(qs, ks)
+        ]
+        if rel_vocab:
+            qrs = [
+                jax.lax.dot_general(
+                    q, rel_ref[hh], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for hh, q in enumerate(qs)
+            ]
+            biases = _tile_bias_multi(
+                qrs, meta_ref, t, q_base, k_base, ss[0].shape, geo,
+                rel_vocab, block_q, block_k,
             )
-        s = s * softmax_scale
+            ss = [s + bias for s, bias in zip(ss, biases)]
+        ss = [s * softmax_scale for s in ss]
 
-        def apply_mask(s):
-            return s + _length_mask_term(
-                length, q_base, k_base, s.shape, block_q, block_k
+        def apply_mask(ss):
+            term = _length_mask_term(
+                length, q_base, k_base, ss[0].shape, block_q, block_k
             )
+            return tuple(s + term for s in ss)
 
         tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-        s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
-
-        lse = lse_ref[0, 0, :, 0]  # [bq]
-        p = jnp.exp(s - lse[:, None])
-        do = do_ref[0, 0].astype(jnp.float32)
-        v_tile = v_ref[0, 0].astype(jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ss = jax.lax.cond(
+            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
         )
-        delta = delta_ref[0, 0, :, 0]  # [bq]
-        ds = p * (dp - delta[:, None])  # [bq, bk]
 
-        dq_acc[...] = dq_acc[...] + jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dss = []
+        for hh, s in enumerate(ss):
+            lse = lse_ref[0, hh, :, 0]  # [bq]
+            p = jnp.exp(s - lse[:, None])
+            do = do_ref[0, hh].astype(jnp.float32)
+            v_tile = v_ref[0, hh].astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = delta_ref[0, hh, :, 0]  # [bq]
+            ds = p * (dp - delta[:, None])  # [bq, bk]
+            dss.append(ds)
+            dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
+                ds, ks[hh].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if rel_vocab:
-            dsv_acc[...] = dsv_acc[...] + _tile_dsv(
-                ds, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
+            dsvs = _tile_dsv_multi(
+                dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
                 block_q, block_k,
             )
+            for hh, dsv in enumerate(dsvs):
+                dsv_acc[hh] = dsv_acc[hh] + dsv
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _finalize():
-        dq = dq_acc[...]
-        if rel_vocab:
-            dq = dq + jax.lax.dot_general(
-                dsv_acc[...], rel_ref[0].astype(jnp.float32),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            dr_acc[...] = dr_acc[...] + jax.lax.dot_general(
-                dsv_acc[...], q_ref[0, 0].astype(jnp.float32),
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ) * softmax_scale
-        dq_ref[0, 0] = (dq * softmax_scale).astype(dq_ref.dtype)
+        for hh in range(hb):
+            dq = dq_acc[hh]
+            if rel_vocab:
+                dq = dq + jax.lax.dot_general(
+                    dsv_acc[hh], rel_ref[hh].astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dr_acc[hh] = dr_acc[hh] + jax.lax.dot_general(
+                    dsv_acc[hh], q_ref[0, hh].astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * softmax_scale
+            dq_ref[0, hh] = (dq * softmax_scale).astype(dq_ref.dtype)
         if rel_vocab:
             @pl.when(qi == pl.num_programs(2) - 1)
             def _write_dr():
-                dr_ref[0, 0] = dr_acc[...]
+                dr_ref[0] = dr_acc[...]
 
 
 def _bwd_dkv_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
-    geo, rel_vocab, block_q, block_k, nk, softmax_scale,
+    geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
 ):
     if rel_vocab:
         rel_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
@@ -749,52 +785,67 @@ def _bwd_dkv_kernel(
 
     @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
     def _body():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if rel_vocab:
-            qr = jax.lax.dot_general(
-                q, rel_ref[0], (((1,), (1,)), ((), ())),
+        qs = [q_ref[0, hh] for hh in range(hb)]
+        ks = [k_ref[0, hh] for hh in range(hb)]
+        ss = [
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s + _tile_bias(
-                qr, meta_ref, t, q_base, k_base, s.shape, geo, rel_vocab,
-                block_q, block_k,
+            for q, k in zip(qs, ks)
+        ]
+        if rel_vocab:
+            qrs = [
+                jax.lax.dot_general(
+                    q, rel_ref[hh], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for hh, q in enumerate(qs)
+            ]
+            biases = _tile_bias_multi(
+                qrs, meta_ref, t, q_base, k_base, ss[0].shape, geo,
+                rel_vocab, block_q, block_k,
             )
-        s = s * softmax_scale
+            ss = [s + bias for s, bias in zip(ss, biases)]
+        ss = [s * softmax_scale for s in ss]
 
-        def apply_mask(s):
-            return s + _length_mask_term(
-                length, q_base, k_base, s.shape, block_q, block_k
+        def apply_mask(ss):
+            term = _length_mask_term(
+                length, q_base, k_base, ss[0].shape, block_q, block_k
             )
+            return tuple(s + term for s in ss)
 
         tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-        s = jax.lax.cond(length < tile_end, apply_mask, lambda s: s, s)
+        ss = jax.lax.cond(
+            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
+        )
 
-        lse = lse_ref[0, 0, :, 0]
-        p = jnp.exp(s - lse[:, None])  # [bq, bk]
-        do = do_ref[0, 0].astype(jnp.float32)
-        v_tile = v_ref[0, 0].astype(jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        delta = delta_ref[0, 0, :, 0]
-        ds = p * (dp - delta[:, None])
+        for hh, s in enumerate(ss):
+            lse = lse_ref[0, hh, :, 0]
+            p = jnp.exp(s - lse[:, None])  # [bq, bk]
+            do = do_ref[0, hh].astype(jnp.float32)
+            v_tile = v_ref[0, hh].astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = delta_ref[0, hh, :, 0]
+            ds = p * (dp - delta[:, None])
 
-        dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            dv_acc[hh] = dv_acc[hh] + jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_acc[hh] = dk_acc[hh] + jax.lax.dot_general(
+                ds, qs[hh].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(qi == pl.num_programs(3) - 1)
     def _finalize():
-        dk_ref[0, 0] = (dk_acc[...] * softmax_scale).astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        for hh in range(hb):
+            dk_ref[0, hh] = (dk_acc[hh] * softmax_scale).astype(dk_ref.dtype)
+            dv_ref[0, hh] = dv_acc[hh].astype(dv_ref.dtype)
 
 
 def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
@@ -817,12 +868,19 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     qoff = qk_offsets.astype(jnp.int32)
     scale = 1.0 / (head_dim**0.5)
 
-    qkv_spec_q = pl.BlockSpec((1, 1, block_q, head_dim), _im_q, memory_space=pltpu.VMEM)
-    qkv_spec_k = pl.BlockSpec((1, 1, block_k, head_dim), _im_k, memory_space=pltpu.VMEM)
-    vec_spec_q = pl.BlockSpec((1, 1, block_q, 1),
+    # Head packing: hb=1 measured best for the backward kernels (packed
+    # heads blow up VMEM/register pressure under the ds/dsv accumulators
+    # and cond closures: fwd+bwd 74 ms at hb=4 vs 60 at hb=1), while the
+    # forward wins at hb=4.  MMT_ATTN_HB_BWD overrides for experiments.
+    hb_pref = int(os.environ.get("MMT_ATTN_HB_BWD", "1"))
+    hb = next((h for h in (hb_pref, 1) if h > 0 and num_heads % h == 0), 1)
+
+    qkv_spec_q = pl.BlockSpec((1, hb, block_q, head_dim), _im_q, memory_space=pltpu.VMEM)
+    qkv_spec_k = pl.BlockSpec((1, hb, block_k, head_dim), _im_k, memory_space=pltpu.VMEM)
+    vec_spec_q = pl.BlockSpec((1, hb, block_q, 1),
                               lambda b, h, qi, ki, *_: (b, h, qi, 0),
                               memory_space=pltpu.VMEM)
-    rel_spec = pl.BlockSpec((1, v_pad, head_dim), lambda b, h, qi, ki, *_: (h, 0, 0),
+    rel_spec = pl.BlockSpec((hb, v_pad, head_dim), lambda b, h, qi, ki, *_: (h, 0, 0),
                             memory_space=pltpu.VMEM) if rel_vocab else None
 
     # ---- dq (+ dRel) ----
@@ -837,29 +895,30 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
         )
         out_specs = (
             qkv_spec_q,
-            pl.BlockSpec((1, 1, v_pad, head_dim),
+            pl.BlockSpec((1, hb, v_pad, head_dim),
                          lambda b, h, qi, ki, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         )
         scratch = [
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
-            pltpu.VMEM((block_q, v_pad), jnp.float32),
-            pltpu.VMEM((v_pad, head_dim), jnp.float32),
+            pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+            pltpu.VMEM((hb, block_q, v_pad), jnp.float32),
+            pltpu.VMEM((hb, v_pad, head_dim), jnp.float32),
         ]
     else:
         out_shape = jax.ShapeDtypeStruct(qt.shape, q.dtype)
         out_specs = qkv_spec_q
-        scratch = [pltpu.VMEM((block_q, head_dim), jnp.float32)]
+        scratch = [pltpu.VMEM((hb, block_q, head_dim), jnp.float32)]
 
     kernel = functools.partial(
         _bwd_dq_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
-        v_pad=v_pad, block_q=block_q, block_k=block_k, nk=nk, softmax_scale=scale,
+        v_pad=v_pad, block_q=block_q, block_k=block_k, nk=nk, hb=hb,
+        softmax_scale=scale,
     )
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(batch, num_heads, nq, nk),
+            grid=(batch, num_heads // hb, nq, nk),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -886,17 +945,17 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
         return (b, h, qi, 0)
 
     in_specs2 = [
-        pl.BlockSpec((1, 1, block_q, head_dim), qm, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_q, head_dim), qm, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_q, 1), vq, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block_q, 1), vq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_q, head_dim), qm, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_k, head_dim), km, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_k, head_dim), km, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_q, head_dim), qm, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_q, 1), vq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_q, 1), vq, memory_space=pltpu.VMEM),
     ]
     args2 = [qt, kt, vt, dot, lse, delta]
     if rel_vocab:
         in_specs2.append(
-            pl.BlockSpec((1, v_pad, head_dim), lambda b, h, ki, qi, *_: (h, 0, 0),
+            pl.BlockSpec((hb, v_pad, head_dim), lambda b, h, ki, qi, *_: (h, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args2.append(rel_h)
@@ -904,21 +963,21 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     # NOTE: in this kernel the grid is (b, h, ki, qi): tile index t = qi*nk+ki.
     kernel2 = functools.partial(
         _bwd_dkv_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
-        block_q=block_q, block_k=block_k, nk=nk, softmax_scale=scale,
+        block_q=block_q, block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
     )
     dk_t, dv_t = pl.pallas_call(
         kernel2,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(batch, num_heads, nk, nq),
+            grid=(batch, num_heads // hb, nk, nq),
             in_specs=in_specs2,
             out_specs=(
-                pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_k, head_dim), km, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, block_k, head_dim), km, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, block_k, head_dim), km, memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((block_k, head_dim), jnp.float32),
-                pltpu.VMEM((block_k, head_dim), jnp.float32),
+                pltpu.VMEM((hb, block_k, head_dim), jnp.float32),
+                pltpu.VMEM((hb, block_k, head_dim), jnp.float32),
             ],
         ),
         out_shape=(

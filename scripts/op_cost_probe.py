@@ -92,6 +92,67 @@ def make(variant):
             ti = ii >= 196 - qi * BQ
             tj = jj >= 196 - ki * BK
             s = s + jnp.where(ti & tj, bias, 0.0)
+        elif variant == "mulbias":
+            # Full flagship bias chain in multiply/FMA form (no selects).
+            ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            jmi = jj - ii
+            rightf = (jmi > DTD - delta).astype(jnp.float32)
+            leftf = (jmi < -DTD - delta).astype(jnp.float32)
+            ttf = ((ii >= 196 - qi * BQ) & (jj >= 196 - ki * BK)).astype(
+                jnp.float32)
+            padded = jnp.pad(qr[:, :2 * DTD + 1], ((0, 0), (0, BK - 2 * DTD - 1)))
+            dyn = jnp.asarray(-(DTD + delta) % BK, jnp.int32)
+            rolled = pltpu.roll(padded, dyn, 1, stride=1, stride_axis=0)
+            a = qr[:, DTD][:, None]
+            b2 = qr[:, 2 * DTD][:, None]
+            bandf = 1.0 - rightf - leftf
+            s = s + (a * rightf + b2 * leftf + rolled * bandf) * ttf
+        elif variant == "mixbias":
+            # rl select kept, ev via FMA, tt via multiply.
+            ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            jmi = jj - ii
+            right = jmi > DTD - delta
+            left = jmi < -DTD - delta
+            ttf = ((ii >= 196 - qi * BQ) & (jj >= 196 - ki * BK)).astype(
+                jnp.float32)
+            padded = jnp.pad(qr[:, :2 * DTD + 1], ((0, 0), (0, BK - 2 * DTD - 1)))
+            dyn = jnp.asarray(-(DTD + delta) % BK, jnp.int32)
+            rolled = pltpu.roll(padded, dyn, 1, stride=1, stride_axis=0)
+            ev = jnp.where(right, qr[:, DTD][:, None], qr[:, 2 * DTD][:, None])
+            s = s + jnp.where(right | left, ev, rolled) * ttf
+        elif variant == "selmul":
+            # one select (rl over ev/rolled), everything else arithmetic
+            ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            jmi = jj - ii
+            rightf = (jmi > DTD - delta).astype(jnp.float32)
+            left = jmi < -DTD - delta
+            ttf = ((ii >= 196 - qi * BQ) & (jj >= 196 - ki * BK)).astype(
+                jnp.float32)
+            padded = jnp.pad(qr[:, :2 * DTD + 1], ((0, 0), (0, BK - 2 * DTD - 1)))
+            dyn = jnp.asarray(-(DTD + delta) % BK, jnp.int32)
+            rolled = pltpu.roll(padded, dyn, 1, stride=1, stride_axis=0)
+            b2 = qr[:, 2 * DTD][:, None]
+            ev = b2 + rightf * (qr[:, DTD][:, None] - b2)
+            s = s + jnp.where(left | (rightf > 0), ev, rolled) * ttf
+        elif variant == "rev":
+            s2 = s + q[:, 0][:, None]
+            s = s + jnp.flip(s2, axis=0)
+        elif variant == "revrollrev":
+            # backward band-scatter candidate: flip rows, strided roll,
+            # flip back (inverse skew of the forward roll).
+            s2 = s + q[:, 0][:, None]
+            dyn = jnp.asarray((DTD + delta - BQ + 1) % BK, jnp.int32)
+            rolled = pltpu.roll(jnp.flip(s2, axis=0), dyn, 1, stride=1,
+                                stride_axis=0)
+            s = s + jnp.flip(rolled, axis=0)
+        elif variant == "rollneg":
+            # negative-stride roll (if the compiler accepts it)
+            s2 = s + q[:, 0][:, None]
+            dyn = jnp.asarray((DTD + delta) % BK, jnp.int32)
+            s = s + pltpu.roll(s2, dyn, 1, stride=-1, stride_axis=0)
         elif variant == "cond2":
             def generalb():
                 return s + qr[:, DTD][:, None]
