@@ -403,15 +403,20 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
 
 
 def _tile_contributes(q_base, k_base, length, block_q, block_k):
-    """Exact tile skip: a tile whose (q, k) pairs are all cross-boundary
-    (real x pad or pad x real) gets -1e4 on every logit, so its softmax
-    weight underflows to exactly 0.0 in float32 -- forward contributions
-    and all gradients through it are exactly zero and can be skipped."""
-    q_real = q_base < length
-    q_pad = q_base + block_q > length
-    k_real = k_base < length
-    k_pad = k_base + block_k > length
-    return (q_real & k_real) | (q_pad & k_pad)
+    """Exact tile skip: only tiles with real queries AND real keys run.
+
+    Cross-boundary (real x pad) pairs get -1e4 on every logit, so their
+    softmax weight underflows to exactly 0.0 in float32 -- skipping those
+    tiles changes nothing.  Pad x pad tiles (the reference's segmented
+    mask lets padding attend padding) are skipped too: every consumer in
+    the framework (CLS pooling, MLM/MPP gathers, losses, metrics) reads
+    only real positions, so pad-row outputs -- zeros here instead of the
+    reference's softmax-over-padding garbage -- are exactly unused and
+    their true gradients are exactly zero.  This makes attention cost
+    scale with the real length, not the padded S (a fully-padded row
+    emits o = 0 / lse = -inf; combiners and the backward clamp -inf).
+    """
+    return (q_base < length) & (k_base < length)
 
 
 def _length_mask_term(length, q_base, k_base, shape, block_q, block_k):
@@ -422,6 +427,218 @@ def _length_mask_term(length, q_base, k_base, shape, block_q, block_k):
 
 
 # ================================================================ forward
+
+
+def _split_tile_lists(meta: np.ndarray, nq: int, nk: int):
+    """Static far/structured tile lists for the split forward.
+
+    Returns two int32 arrays [T+1, 3] of (qi, ki, flag) rows sorted by
+    qi: ``far`` holds kind-0/1 tiles (flag 0 = right clip, 1 = left
+    clip) with a flag-2 sentinel row for any qi that has no far tile
+    (so its output block still gets initialized and finalized), and
+    ``struct`` holds kind-2 tiles.  The extra guard row (-1, 0, 2) lets
+    the kernel read tmeta[t + 1] unconditionally."""
+    far, struct = [], []
+    for qi in range(nq):
+        row_far = [
+            (qi, ki, int(meta[qi * nk + ki, 3] == 1))
+            for ki in range(nk) if meta[qi * nk + ki, 3] != 2
+        ]
+        far.extend(row_far if row_far else [(qi, 0, 2)])
+        struct.extend(
+            (qi, ki, 0) for ki in range(nk) if meta[qi * nk + ki, 3] == 2
+        )
+    guard = (-1, 0, 2)
+    return (np.asarray(far + [guard], np.int32),
+            np.asarray(struct + [guard], np.int32))
+
+
+def _fwd_list_kernel(
+    lengths_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, rel_ref,
+    o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, *,
+    geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale, far,
+):
+    """List-driven forward over a static tile subset (split schedule).
+
+    The grid's last dimension walks a (qi, ki, flag) table sorted by qi;
+    scratch init/finalize trigger on qi changes.  ``far=True`` bodies
+    add the single clip bias through the flash row statistics (m_cur
+    and the exp offset are [bq] vectors) -- zero per-element bias work,
+    exactly the norel inner loop.  ``far=False`` runs the full bias
+    chain of ``_fwd_kernel``.  Outputs are float32 partials combined by
+    the caller via logsumexp; rows whose tiles were all skipped emit
+    lse = -inf / o = 0 so the combine ignores them."""
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    qi = tmeta_ref[t, 0]
+    ki = tmeta_ref[t, 1]
+    flag = tmeta_ref[t, 2]
+    prev_qi = tmeta_ref[jnp.maximum(t - 1, 0), 0]
+
+    @pl.when((t == 0) | (prev_qi != qi))
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q_base = qi * block_q
+    k_base = ki * block_k
+    length = lengths_ref[b]
+    dtd = geo.text_max_distance
+
+    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k)
+             & (flag != 2))
+    def _body():
+        qs = [q_ref[0, hh] for hh in range(hb)]
+        ss = [
+            jax.lax.dot_general(
+                q, k_ref[0, hh], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hh, q in enumerate(qs)
+        ]
+        shape = ss[0].shape
+        qrs = [
+            jax.lax.dot_general(
+                q, rel_ref[hh], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hh, q in enumerate(qs)
+        ]
+        if far:
+            # [bq] clip-bias row vector, pre-scaled; folded into the
+            # flash statistics below instead of the logits tile.
+            avs = [
+                jnp.where(flag == 0, qr[:, dtd], qr[:, 2 * dtd])
+                * softmax_scale
+                for qr in qrs
+            ]
+            ss = [s * softmax_scale for s in ss]
+        else:
+            avs = [None] * hb
+            biases = _tile_bias_multi(
+                qrs, meta_ref, qi * nk + ki, q_base, k_base, shape, geo,
+                rel_vocab, block_q, block_k,
+            )
+            ss = [(s + bias) * softmax_scale for s, bias in zip(ss, biases)]
+
+        def apply_mask(ss):
+            term = _length_mask_term(
+                length, q_base, k_base, shape, block_q, block_k
+            )
+            return tuple(s + term for s in ss)
+
+        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
+        ss = jax.lax.cond(
+            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
+        )
+
+        for hh, s in enumerate(ss):
+            m_prev = m_scratch[hh, :, 0]
+            l_prev = l_scratch[hh, :, 0]
+            m_cur = jnp.max(s, axis=1)
+            if far:
+                m_cur = m_cur + avs[hh]
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            ofs = m_next - avs[hh] if far else m_next
+            p = jnp.exp(s - ofs[:, None])
+            l_next = l_prev * alpha + jnp.sum(p, axis=1)
+
+            m_scratch[hh] = jnp.broadcast_to(m_next[:, None], m_scratch.shape[1:])
+            l_scratch[hh] = jnp.broadcast_to(l_next[:, None], l_scratch.shape[1:])
+
+            v_tile = v_ref[0, hh]
+            pv = jax.lax.dot_general(
+                p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scratch[hh] = acc_scratch[hh] * alpha[:, None] + pv
+
+    nxt_qi = tmeta_ref[t + 1, 0]
+
+    @pl.when((t == pl.num_programs(2) - 1) | (nxt_qi != qi))
+    def _finalize():
+        for hh in range(hb):
+            l_final = l_scratch[hh, :, 0]
+            l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+            o_ref[0, hh] = (acc_scratch[hh] / l_safe[:, None]).astype(o_ref.dtype)
+            lse_ref[0, hh, :, 0] = jnp.where(
+                l_final == 0.0, -jnp.inf, m_scratch[hh, :, 0] + jnp.log(l_safe)
+            ).astype(jnp.float32)
+
+
+def _forward_split(q, k, v, lengths, rel_h, meta, geometry, rel_vocab,
+                   block_q, block_k, nq, nk, hb, interpret):
+    """Two list-driven passes (far / structured) + logsumexp combine."""
+    batch, seq_len, num_heads, head_dim = q.shape
+    far_list, struct_list = _split_tile_lists(np.asarray(meta), nq, nk)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    scale = 1.0 / (head_dim**0.5)
+
+    def im_q(b, h, t, lens, meta_, tm):
+        return (b, h, tm[t, 0], 0)
+
+    def im_k(b, h, t, lens, meta_, tm):
+        return (b, h, tm[t, 1], 0)
+
+    def run(tlist, far):
+        kernel = functools.partial(
+            _fwd_list_kernel, geo=geometry, rel_vocab=rel_vocab,
+            block_q=block_q, block_k=block_k, nk=nk, hb=hb,
+            softmax_scale=scale, far=far,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_heads // hb, len(tlist) - 1),
+            in_specs=[
+                pl.BlockSpec((1, hb, block_q, head_dim), im_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, block_k, head_dim), im_k,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, block_k, head_dim), im_k,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, rel_h.shape[1], head_dim),
+                             lambda b, h, t, *_: (h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, hb, block_q, head_dim), im_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, block_q, 1),
+                             lambda b, h, t, lens, meta_, tm: (b, h, tm[t, 0], 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hb, block_q, 128), jnp.float32),
+                pltpu.VMEM((hb, block_q, 128), jnp.float32),
+                pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(qt.shape, jnp.float32),
+                jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1),
+                                     jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lengths.astype(jnp.int32), jnp.asarray(meta), jnp.asarray(tlist),
+          qt, kt, vt, rel_h)
+
+    o_f, lse_f = run(far_list, far=True)
+    o_s, lse_s = run(struct_list, far=False)
+    lse = jnp.logaddexp(lse_f, lse_s)
+    # Fully-padded rows have zero live tiles in BOTH passes: clamp the
+    # denominator so exp(-inf - -inf) = NaN never forms (weights 0).
+    lse_c = jnp.maximum(lse, jnp.float32(-3e38))
+    out = o_f * jnp.exp(lse_f - lse_c) + o_s * jnp.exp(lse_s - lse_c)
+    return out.astype(q.dtype).transpose(0, 2, 1, 3), lse
 
 
 def _fwd_kernel(
@@ -587,6 +804,31 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     # (MMT_ATTN_HB overrides for experiments).
     hb_pref = int(os.environ.get("MMT_ATTN_HB", "4"))
     hb = next((h for h in (hb_pref, 4, 2) if h > 0 and num_heads % h == 0), 1)
+
+    # Static tile split: when offsets are static (single-chip path) and
+    # MOST tiles are far all-text, run the far tiles through a bias-free
+    # list kernel (clip bias riding the flash row statistics) and only
+    # the structured tiles through the full bias chain; combine with
+    # logsumexp.  Measured on v5e at block 512: the list-driven grid
+    # costs ~20% more per tile than the rectangular grid, so the split
+    # only pays once the far fraction is large -- at S=4096 (48% far)
+    # it breaks even (19.9 vs 19.5 ms), at 8k+ (77%+) it wins.
+    # MMT_ATTN_SPLIT: "0" never, "1" whenever far tiles exist, default
+    # auto (far fraction >= 0.6).
+    static_offsets = (
+        isinstance(q_start, int) and q_start == 0
+        and isinstance(k_start, int) and k_start == 0
+    )
+    split_env = os.environ.get("MMT_ATTN_SPLIT", "auto")
+    if rel_vocab and static_offsets and seq_len == k.shape[1] and split_env != "0":
+        meta_np = _build_tile_meta(geometry, seq_len, block_q, block_k)
+        n_far = int((meta_np[:, 3] != 2).sum())
+        if (n_far >= 4 if split_env == "1"
+                else n_far >= 0.6 * len(meta_np)):
+            return _forward_split(
+                q, k, v, lengths, rel_h, meta_np, geometry, rel_vocab,
+                block_q, block_k, nq, nk, hb, interpret,
+            )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -714,6 +956,10 @@ def _bwd_dq_kernel(
         dss = []
         for hh, s in enumerate(ss):
             lse = lse_ref[0, hh, :, 0]  # [bq]
+            # Dead rows (no live tiles anywhere: fully-padded queries)
+            # carry lse = -inf; clamp so p underflows to 0 instead of
+            # exp(s + inf) = inf poisoning the dRel contraction.
+            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
             p = jnp.exp(s - lse[:, None])
             do = do_ref[0, hh].astype(jnp.float32)
             v_tile = v_ref[0, hh].astype(jnp.float32)
@@ -822,6 +1068,7 @@ def _bwd_dkv_kernel(
 
         for hh, s in enumerate(ss):
             lse = lse_ref[0, hh, :, 0]
+            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
             p = jnp.exp(s - lse[:, None])  # [bq, bk]
             do = do_ref[0, hh].astype(jnp.float32)
             v_tile = v_ref[0, hh].astype(jnp.float32)
@@ -1213,9 +1460,12 @@ def ring_sequence_sharded_pallas_attention(
             )
             lse_i = lse_i.transpose(0, 2, 1, 3)  # [B, S_loc, H, 1]
             lse_new = jnp.logaddexp(lse_acc, lse_i)
+            # Clamp: fully-padded rows are -inf in every chunk; the
+            # weights must come out 0, not exp(-inf - -inf) = NaN.
+            lse_c = jnp.maximum(lse_new, jnp.float32(-3e38))
             out_new = (
-                jnp.exp(lse_acc - lse_new) * out_acc.astype(jnp.float32)
-                + jnp.exp(lse_i - lse_new) * out_i.astype(jnp.float32)
+                jnp.exp(lse_acc - lse_c) * out_acc.astype(jnp.float32)
+                + jnp.exp(lse_i - lse_c) * out_i.astype(jnp.float32)
             )
             k_n = jax.lax.ppermute(k_c, seq_axis, perm)
             v_n = jax.lax.ppermute(v_c, seq_axis, perm)

@@ -248,8 +248,13 @@ class TestPallasModelPath:
         )
         enc_pl = MmtEncoder(cfg_pl, num_patch_per_row=P)
         got = enc_pl.apply(params, **inputs)["sequence_output"]
+        # Pad-position outputs are unspecified on the fused path (the
+        # kernel skips pad x pad tiles; no consumer reads them), so
+        # compare real positions only.
+        m = (np.arange(S)[None, :]
+             < np.asarray(inputs["lengths"])[:, None])[..., None]
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5
+            np.asarray(got) * m, np.asarray(want) * m, atol=3e-5, rtol=3e-5
         )
 
     def test_training_gradients_pallas_model(self):

@@ -49,6 +49,18 @@ def _ids_for(geo: RelGeometry, S: int):
     return jnp.asarray(gen.make_relative_att_ids(S, 1)[0])
 
 
+def _real_mask(lengths, S):
+    """[B, S, 1, 1] mask of real rows.
+
+    Pad-row outputs are intentionally unspecified since the kernel skips
+    pad x pad tiles (see _tile_contributes): every framework consumer
+    reads real positions only, so parity is asserted on those.
+    """
+    pos = np.arange(S)
+    m = pos[None, :] < np.asarray(lengths)[:, None]
+    return m.astype(np.float32)[:, :, None, None]
+
+
 def _check(geo, B, S, H, D, V, lengths, block=128, seed=0, atol=2e-5):
     q, k, v, table = _rand_inputs(B, S, H, D, V, seed)
     lengths = jnp.asarray(lengths, jnp.int32)
@@ -58,7 +70,10 @@ def _check(geo, B, S, H, D, V, lengths, block=128, seed=0, atol=2e-5):
         q, k, v, table if geo else None, geo, lengths,
         block_q=block, block_k=block, interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=atol, rtol=atol)
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(want) * m, atol=atol, rtol=atol
+    )
 
 
 def test_2d_geometry_shipped_config():
@@ -126,7 +141,10 @@ def test_sequence_sharded_matches_unsharded():
                 interpret=True,
             )
         )(q, k, v, table, lengths)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(want) * m, atol=2e-5, rtol=2e-5
+    )
 
 
 def test_sequence_sharded_no_rel():
@@ -147,7 +165,10 @@ def test_sequence_sharded_no_rel():
                 block_k=32, interpret=True,
             )
         )(q, k, v, lengths)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(want) * m, atol=2e-5, rtol=2e-5
+    )
 
 
 def test_ring_sharded_matches_unsharded():
@@ -170,4 +191,71 @@ def test_ring_sharded_matches_unsharded():
                 interpret=True,
             )
         )(q, k, v, table, lengths)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5)
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(want) * m, atol=3e-5, rtol=3e-5
+    )
+
+
+def test_split_schedule_matches_full(monkeypatch):
+    """Static far/structured tile split (forced via MMT_ATTN_SPLIT=1):
+    output must match the dense reference AND the single-kernel path
+    bitwise-closely, including the length-mask and lse edge rows."""
+    import mmt_tpu.ops.pallas_attention as pa
+
+    geo = RelGeometry(text_max_distance=3, num_patch_per_row=2, num_core_layers=1)
+    B, S, H, D, V = 2, 512, 4, 32, 25
+    block = 64
+    meta = pa._build_tile_meta(geo, S, block, block)
+    assert int((meta[:, 3] != 2).sum()) >= 4  # split-eligible
+
+    q, k, v, table = _rand_inputs(B, S, H, D, V, seed=3)
+    lengths = jnp.asarray([384, 512], jnp.int32)
+    ids = _ids_for(geo, S)
+    want = dense_reference(q, k, v, table, ids, lengths)
+
+    monkeypatch.setenv("MMT_ATTN_SPLIT", "1")
+    got_split = pallas_relative_attention(
+        q, k, v, table, geo, lengths, block_q=block, block_k=block,
+        interpret=True,
+    )
+    monkeypatch.setenv("MMT_ATTN_SPLIT", "0")
+    got_full = pallas_relative_attention(
+        q, k, v, table, geo, lengths, block_q=block, block_k=block,
+        interpret=True,
+    )
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(np.asarray(got_split) * m, np.asarray(want) * m,
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_split) * m,
+                               np.asarray(got_full) * m,
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_split_schedule_gradients(monkeypatch):
+    """Gradients flow through the split forward via the shared custom
+    VJP (the backward recomputes from the combined lse)."""
+    import mmt_tpu.ops.pallas_attention as pa
+
+    geo = RelGeometry(text_max_distance=3, num_patch_per_row=2, num_core_layers=1)
+    B, S, H, D, V = 1, 256, 2, 16, 25
+    block = 64
+    q, k, v, table = _rand_inputs(B, S, H, D, V, seed=4)
+    lengths = jnp.asarray([200], jnp.int32)
+
+    m = jnp.asarray(_real_mask(lengths, S))
+
+    def loss(q, k, v, table, lengths):
+        out = pallas_relative_attention(
+            q, k, v, table, geo, lengths, block_q=block, block_k=block,
+            interpret=True,
+        )
+        return jnp.sum((out.astype(jnp.float32) * m) ** 2)
+
+    monkeypatch.setenv("MMT_ATTN_SPLIT", "1")
+    g_split = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, table, lengths)
+    monkeypatch.setenv("MMT_ATTN_SPLIT", "0")
+    g_full = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, table, lengths)
+    for a, b in zip(g_split, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -5,17 +5,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmt_tpu.ops.pallas_attention import RelGeometry, pallas_relative_attention
-from tests.test_pallas_attention import _ids_for, _rand_inputs, dense_reference
+from tests.test_pallas_attention import (
+    _ids_for,
+    _rand_inputs,
+    _real_mask,
+    dense_reference,
+)
 
 
-def _grads(fn, args, diff_idx):
+def _grads(fn, args, diff_idx, mask=None):
     def loss(*diff_args):
         full = list(args)
         for i, a in zip(diff_idx, diff_args):
             full[i] = a
         out = fn(*full)
-        # Weighted sum as a scalar loss touching everything.
+        # Weighted sum as a scalar loss touching everything real (pad
+        # rows are excluded: their outputs are unspecified since the
+        # kernel skips pad x pad tiles).
         w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape) * 1e-3
+        if mask is not None:
+            w = w * jnp.asarray(mask)
         return jnp.sum(out * w)
 
     return jax.grad(loss, argnums=tuple(range(len(diff_idx))))(
@@ -38,8 +47,9 @@ def _compare(geo, B, S, H, D, V, lengths, block, atol=3e-4):
         )
 
     args = (q, k, v, table)
-    want = _grads(dense_fn, args, (0, 1, 2, 3))
-    got = _grads(pallas_fn, args, (0, 1, 2, 3))
+    m = _real_mask(lengths, S)
+    want = _grads(dense_fn, args, (0, 1, 2, 3), mask=m)
+    got = _grads(pallas_fn, args, (0, 1, 2, 3), mask=m)
     names = ["dq", "dk", "dv", "drel"]
     for n, w, g in zip(names, want, got):
         if geo is None and n == "drel":
@@ -77,8 +87,9 @@ def test_grads_no_rel():
     q, k, v, _ = _rand_inputs(1, 128, 2, 16, 1, seed=5)
     lengths = jnp.asarray([100], jnp.int32)
     args = (q, k, v)
-    want = _grads(dense_fn, args, (0, 1, 2))
-    got = _grads(pallas_fn, args, (0, 1, 2))
+    m = _real_mask(lengths, 128)
+    want = _grads(dense_fn, args, (0, 1, 2), mask=m)
+    got = _grads(pallas_fn, args, (0, 1, 2), mask=m)
     for n, w, g in zip(["dq", "dk", "dv"], want, got):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=3e-4, rtol=3e-4, err_msg=n
@@ -95,6 +106,7 @@ def test_grads_through_sequence_sharding():
     q, k, v, table = _rand_inputs(B, S, H, D, V, seed=21)
     lengths = jnp.asarray([256, 200], jnp.int32)
     w = jnp.arange(B * S * H * D, dtype=jnp.float32).reshape(B, S, H, D) * 1e-4
+    w = w * jnp.asarray(_real_mask(lengths, S))
 
     def loss_single(q, k, v, table):
         out = pallas_relative_attention(
@@ -131,6 +143,7 @@ def test_grads_through_ring_sharding():
     q, k, v, table = _rand_inputs(B, S, H, D, V, seed=23)
     lengths = jnp.asarray([256, 200], jnp.int32)
     w = jnp.arange(B * S * H * D, dtype=jnp.float32).reshape(B, S, H, D) * 1e-4
+    w = w * jnp.asarray(_real_mask(lengths, S))
 
     def loss_single(q, k, v, table):
         out = pallas_relative_attention(
