@@ -33,6 +33,7 @@ from mmt_tpu.data.tfrecord import TFRecordReader, parse_example
 from mmt_tpu.features.masking import MaskingSpec, mask_items, pad_1d
 from mmt_tpu.features.matching import make_matching_features
 from mmt_tpu.features.patches import make_mpp_label_ids
+from mmt_tpu.text.native import NativeBertTokenizer
 from mmt_tpu.text.wordpiece import BertTokenizer
 
 
@@ -95,7 +96,9 @@ class _BaseLoader:
         if tokenizer is None:
             if not config.vocab_filename:
                 raise ValueError("vocab_filename required (or pass a tokenizer)")
-            tokenizer = BertTokenizer(config.vocab_filename)
+            # C++ fast path for ASCII text, transparent Python
+            # fallback otherwise (tests/test_native_text.py pins parity).
+            tokenizer = NativeBertTokenizer(config.vocab_filename)
         self.tokenizer = tokenizer
         self.assembler = ExampleAssembler(config, tokenizer)
 
