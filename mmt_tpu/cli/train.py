@@ -123,7 +123,9 @@ def main(argv=None):
     from mmt_tpu.train.train_state import TrainState
 
     os.makedirs(args.model_dir, exist_ok=True)
-    if args.mode in ("train", "train_and_eval"):
+    # Config serialization from the chief only (multi-host: all processes
+    # share model_dir; reference writes from the coordinator).
+    if args.mode in ("train", "train_and_eval") and jax.process_index() == 0:
         with open(os.path.join(args.model_dir, "params.yaml"), "w") as f:
             yaml.safe_dump(to_dict(cfg), f)
 
@@ -134,15 +136,27 @@ def main(argv=None):
 
     is_pretraining = isinstance(cfg.task, PretrainingTaskConfig)
     data_cfg = cfg.task.train_data
+    # Multi-host: each process loads and feeds global/process_count
+    # examples (the reference's per-replica batch derivation,
+    # src/data/pretrain_dataloader.py:107-108); shard_batch assembles
+    # the global array from the per-process slices.
+    if cfg.task.train_data.global_batch_size % jax.process_count():
+        raise ValueError(
+            f"global_batch_size {cfg.task.train_data.global_batch_size} not "
+            f"divisible by {jax.process_count()} processes"
+        )
+    local_bsz = cfg.task.train_data.global_batch_size // jax.process_count()
     if is_pretraining:
         task = PretrainingTask(cfg.task, cfg.trainer)
         if data_cfg.input_path == "dummy":
-            batches = dummy_pretrain_batches(data_cfg)
+            batches = dummy_pretrain_batches(data_cfg, batch_size=local_bsz)
         else:
             from mmt_tpu.data.prefetch import multiprocess_batches
 
             batches = multiprocess_batches(
-                lambda s, n: MmtPretrainLoader(data_cfg).load(s, n),
+                lambda s, n: MmtPretrainLoader(data_cfg).load(
+                    s, n, batch_size=local_bsz
+                ),
                 num_workers=data_cfg.num_workers,
                 base_shard=jax.process_index(),
                 total_shards=jax.process_count(),
@@ -156,7 +170,9 @@ def main(argv=None):
         from mmt_tpu.data.prefetch import multiprocess_batches
 
         batches = multiprocess_batches(
-            lambda s, n: MmtClassificationLoader(data_cfg).load(s, n),
+            lambda s, n: MmtClassificationLoader(data_cfg).load(
+                s, n, batch_size=local_bsz
+            ),
             num_workers=data_cfg.num_workers,
             base_shard=jax.process_index(),
             total_shards=jax.process_count(),

@@ -56,6 +56,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Places a host pytree batch onto the mesh, sharded along 'data'."""
+    """Places a host pytree batch onto the mesh, sharded along 'data'.
+
+    Single-process: device_put.  Multi-process (one process per host):
+    each process passes its *local* slice of the global batch (the
+    loaders shard files per process and yield global/process_count
+    examples), assembled into one global array -- the SPMD analog of
+    the reference's per-worker ``make_distributed_dataset`` feeding.
+    """
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
