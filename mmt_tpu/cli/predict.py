@@ -86,8 +86,19 @@ def main(argv=None):
     with open(args.input_meta_data_path) as f:
         meta = json.load(f)
 
+    # Sharded scoring needs batch % device_count == 0; round up rather
+    # than crash (the retrieval loader pads every batch to full size with
+    # a valid mask, so the extra slots cost only padding compute).
+    batch_size = args.predict_global_batch_size
+    n_dev = jax.device_count()
+    if batch_size % n_dev:
+        batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+        logging.info(
+            "rounded predict batch %d -> %d (%d devices)",
+            args.predict_global_batch_size, batch_size, n_dev,
+        )
     data_cfg = build_retrieval_data_config(
-        cfg.task.train_data, meta, args.predict_split, args.predict_global_batch_size
+        cfg.task.train_data, meta, args.predict_split, batch_size
     )
     # Retrieval scoring uses the classification model at the meta seq len.
     cfg = dataclasses.replace(cfg, task=dataclasses.replace(cfg.task, train_data=data_cfg))

@@ -62,17 +62,27 @@ def warm_start(path: str, params):
       params restored (with position-grid interpolation), text tables
       and heads stay fresh.
     """
-    import tensorflow as tf
-
     from mmt_tpu.train.checkpoint import CheckpointManager
 
-    tf_path = path
-    if tf.io.gfile.isdir(path):
-        latest = tf.train.latest_checkpoint(path)
-        tf_path = latest if latest else None
-    elif not tf.io.gfile.exists(path + ".index"):
-        tf_path = None
+    # Probe for TF-checkpoint markers WITHOUT importing tensorflow: the
+    # Orbax path (warm start from this framework's own pretraining) must
+    # work on TF-free deployments.
+    def _tf_ckpt_path(p):
+        if p.startswith("gs://"):
+            import tensorflow as tf  # gfile needed to probe GCS
 
+            if tf.io.gfile.isdir(p):
+                return tf.train.latest_checkpoint(p)
+            return p if tf.io.gfile.exists(p + ".index") else None
+        if os.path.isdir(p):
+            if os.path.exists(os.path.join(p, "checkpoint")):
+                import tensorflow as tf
+
+                return tf.train.latest_checkpoint(p)
+            return None
+        return p if os.path.exists(p + ".index") else None
+
+    tf_path = _tf_ckpt_path(path)
     if tf_path is None:
         mgr = CheckpointManager(path)
         params = mgr.restore(template={"params": params})["params"]
@@ -190,20 +200,44 @@ def main(argv=None):
     eval_fn = None
     val_cfg = cfg.task.validation_data
     if args.mode in ("train_and_eval", "eval", "continuous_train_and_eval") and val_cfg.input_path not in ("", "dummy"):
+        import itertools as _it
+
         import numpy as np
 
         from mmt_tpu.eval.metrics_host import auc_pr
 
-        eval_step = task.make_eval_step()
+        multiproc = jax.process_count() > 1
+        eval_step = task.make_eval_step(mesh=mesh if multiproc else None)
         val_loader_cls = MmtPretrainLoader if is_pretraining else MmtClassificationLoader
         max_steps = cfg.trainer.validation_steps
+        if multiproc and max_steps <= 0:
+            raise ValueError(
+                "multi-host eval requires trainer.validation_steps > 0 "
+                "(every process must dispatch the same number of steps)"
+            )
 
         def eval_fn(state):
             sums = {}
             probs_all, labels_all, weights_all = [], [], []
-            for step_i, batch in enumerate(val_loader_cls(val_cfg).load()):
+            if multiproc:
+                # Per-process disjoint shard; cycle if a shard runs dry so
+                # every process dispatches exactly max_steps collectives.
+                local = val_cfg.global_batch_size // jax.process_count()
+                stream = _it.cycle(
+                    val_loader_cls(val_cfg).load(
+                        jax.process_index(), jax.process_count(),
+                        batch_size=local,
+                    )
+                )
+            else:
+                stream = val_loader_cls(val_cfg).load()
+            for step_i, batch in enumerate(stream):
                 if max_steps > 0 and step_i >= max_steps:
                     break
+                local_labels = batch.get("label_ids")
+                local_weights = batch.get("label_weights")
+                if multiproc:
+                    batch = shard_batch(mesh, batch)
                 out = eval_step(state.params, batch)
                 metrics = out[0] if isinstance(out, tuple) else out
                 for name, (total, count) in metrics.items():
@@ -211,14 +245,25 @@ def main(argv=None):
                     sums[name] = (prev[0] + float(total), prev[1] + float(count))
                 if isinstance(out, tuple):
                     probs_all.append(np.asarray(out[1]))
-                    labels_all.append(np.asarray(batch["label_ids"]))
-                    weights_all.append(np.asarray(batch["label_weights"]))
+                    labels_all.append(np.asarray(local_labels))
+                    weights_all.append(np.asarray(local_weights))
             result = {n: (t / c if c else 0.0) for n, (t, c) in sums.items()}
             if probs_all and not is_pretraining:
+                labels = np.concatenate(labels_all)
+                weights = np.concatenate(weights_all)
+                if multiproc:
+                    # probs are already global (replicated output over the
+                    # assembled batch); gather labels/weights to match.
+                    from jax.experimental import multihost_utils
+
+                    labels = np.asarray(
+                        multihost_utils.process_allgather(labels)
+                    ).reshape(-1)
+                    weights = np.asarray(
+                        multihost_utils.process_allgather(weights)
+                    ).reshape(-1)
                 result["auc"] = auc_pr(
-                    np.concatenate(labels_all),
-                    np.concatenate(probs_all),
-                    np.concatenate(weights_all),
+                    labels, np.concatenate(probs_all).reshape(-1), weights
                 )
             return result
 

@@ -50,13 +50,23 @@ def _glob_shard(
         files.extend(matched)
     if rng is not None:
         rng.shuffle(files)
-    return files[shard_index::num_shards]
+    if len(files) < num_shards:
+        # Fewer files than input pipelines: file-level sharding would
+        # starve some shards (a multi-host process would then hang its
+        # peers' collectives).  Signal record-level striding instead.
+        return files, True
+    return files[shard_index::num_shards], False
 
 
 def _shuffle_stream(stream, buffer_size: int, rng) -> Iterator:
     """tf.data-style shuffle: keep a buffer, emit a uniformly random
     element, refill from the stream (src/data/pretrain_dataloader.py:214)."""
+    if buffer_size <= 0:  # shuffling disabled
+        yield from stream
+        return
     buf = list(itertools.islice(stream, buffer_size))
+    if not buf:
+        return
     for item in stream:
         i = int(rng.integers(len(buf)))
         yield buf[i]
@@ -107,12 +117,17 @@ class _BaseLoader:
 
         use_native = native.available()
         while True:
-            files = _glob_shard(patterns, shard_index, num_shards, rng)
+            files, stride_records = _glob_shard(
+                patterns, shard_index, num_shards, rng
+            )
+            i = 0
             for path in files:
-                if use_native:
-                    yield from native.iter_records(path)
-                else:
-                    yield from TFRecordReader(path)
+                records = (native.iter_records(path) if use_native
+                           else TFRecordReader(path))
+                for rec in records:
+                    if not stride_records or i % num_shards == shard_index:
+                        yield rec
+                    i += 1
             if not repeat:
                 return
 
@@ -409,8 +424,8 @@ class MmtRetrievalLoader(_BaseLoader):
         # text features are cached up to ``max_cached_text_examples``;
         # larger pools (WIT-scale) stream the tail from disk per image,
         # bounding host RAM at the cost of re-decoding.
-        image_files = _glob_shard(cfg.image_input_path, 0, 1)
-        text_files = _glob_shard(cfg.text_input_path, 0, 1)
+        image_files, _ = _glob_shard(cfg.image_input_path, 0, 1)
+        text_files, _ = _glob_shard(cfg.text_input_path, 0, 1)
         cap = cfg.max_cached_text_examples
         texts = []
         overflow = False

@@ -53,15 +53,18 @@ def _recall_from_ranks(ranks, gt, axis, k):
     """Fraction of queries (slices along ``axis``) whose best-ranked
     ground-truth match is within the top k.
 
-    The pair test uses the reference's gt-weighted rank (rank * gt in
-    (0, k]) so any fractional gt cells behave identically.
+    Reference-exact, including its fractional-gt quirks (duplicate rows
+    with disagreeing gt_image_index average to fractional gt cells):
+    the pair test uses the gt-weighted rank (rank * gt in (0, k]), and
+    the denominator is sum(clip(sum(gt, axis), 0, 1)) -- a query whose
+    gt mass is 0.33 contributes 0.33, not 1.  A pool with no ground
+    truth at all yields the reference's 0/0 = 'nan' entries.
     """
     weighted = ranks * gt
     hit_per_pair = (weighted > 0) & (weighted <= k)
     hits = hit_per_pair.any(axis=axis)
-    has_gt = (gt > 0).any(axis=axis)
-    denom = has_gt.sum()
-    return hits.sum() / denom if denom else 0.0
+    denom = np.clip(gt.sum(axis=axis), 0.0, 1.0).sum()
+    return hits.sum() / denom if denom else float("nan")
 
 
 def get_recall_at_k_from_dataframe(

@@ -178,7 +178,6 @@ class MmtEncoder(nn.Module):
         # materialize the static [S,S] id map and a dense mask.
         pallas_capable = (
             cfg.attention_impl in ("pallas", "pallas_interpret")
-            and (deterministic or cfg.attention_probs_dropout_prob == 0.0)
             and relative_att_ids is None
             and lengths is not None
             and (

@@ -37,6 +37,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mmt_tpu.ops.relative_attention_ref import relative_attention_scores
@@ -95,14 +96,16 @@ class RelativeAttention(nn.Module):
             rel_table = None
 
         # The fused kernel regenerates ids in-kernel from the static
-        # geometry; explicitly-supplied id tensors, or training with
-        # attention dropout, use the XLA path.  "pallas_interpret" runs
-        # the kernel in interpreter mode (CPU-testable).
+        # geometry; explicitly-supplied id tensors use the XLA path.
+        # "pallas_interpret" runs the kernel in interpreter mode
+        # (CPU-testable).  Attention dropout runs INSIDE the kernel
+        # (hash mask from a per-call seed) -- the reference-faithful
+        # training configs (attention dropout 0.1) stay on the fused
+        # path at long sequence lengths.
         use_pallas = (
             self.attention_impl in ("pallas", "pallas_interpret")
             and lengths is not None
             and relative_att_ids is None
-            and (deterministic or self.attention_dropout == 0.0)
         )
         if use_pallas:
             geometry = None
@@ -112,6 +115,13 @@ class RelativeAttention(nn.Module):
                     num_patch_per_row=self.num_patch_per_row,
                     num_core_layers=self.relative_att_num_core_layers,
                 )
+            drop_rate = 0.0
+            drop_seed = None
+            if not deterministic and self.attention_dropout > 0.0:
+                drop_rate = float(self.attention_dropout)
+                drop_seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                ).astype(jnp.int32)
             ctx = pallas_relative_attention(
                 q,
                 k,
@@ -122,6 +132,8 @@ class RelativeAttention(nn.Module):
                 block_q=self.block_q,
                 block_k=self.block_k,
                 interpret=self.attention_impl == "pallas_interpret",
+                dropout_rate=drop_rate,
+                dropout_seed=drop_seed,
             )
         else:
             logits = relative_attention_scores(q, k, rel_table, relative_att_ids)

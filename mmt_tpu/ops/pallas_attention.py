@@ -83,6 +83,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.lru_cache(maxsize=None)
 def _build_tile_meta(
     geo: RelGeometry, seq_len: int, block_q: int, block_k: int
 ) -> np.ndarray:
@@ -115,6 +116,7 @@ def _build_tile_meta(
             else:
                 kind = 2
             meta[qi * nk + ki] = (lo, hi, has_img, kind)
+    meta.setflags(write=False)  # lru_cached: shared across callers
     return meta
 
 
@@ -198,7 +200,9 @@ def _band_bias_rolled(qr, delta, dtd, band0, shape):
     bq, bk = shape
     strip = qr[:, band0:band0 + 2 * dtd + 1]
     padded = jnp.pad(strip, ((0, 0), (0, bk - strip.shape[1])))
-    shift = -(dtd + jnp.asarray(delta, jnp.int32))
+    # Normalize the arithmetically-negative rotate into [0, bk): the
+    # roll primitive requires a non-negative dynamic shift.
+    shift = (-(dtd + jnp.asarray(delta, jnp.int32))) % bk
     return pltpu.roll(padded, shift, 1, stride=1, stride_axis=0)
 
 
@@ -402,6 +406,38 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
     return jax.lax.cond(meta_ref[t, 3] == 2, general_dsv, far_dsv)
 
 
+def _dropout_keep(seed, head, i_pos, j_pos, rate: float):
+    """Deterministic attention-dropout keep factor in {0, 1/(1-rate)}.
+
+    A 3-round multiply-xorshift hash of (seed, head, global query
+    position, global key position), int32 wrap-around arithmetic only
+    (no PRNG primitive: portable across Mosaic/interpret/host, and the
+    backward regenerates the identical mask from the same inputs; global
+    positions make the mask consistent across sequence-sharded chunks).
+    Pure jnp -- tests call it outside the kernel to build an exact dense
+    reference mask.
+    """
+    x = i_pos * np.int32(-1640531527)            # 0x9E3779B9
+    x = x ^ (j_pos * np.int32(-2048144789))      # 0x85EBCA6B
+    x = x ^ (seed + head * np.int32(668265261))  # 0x27D4EB2D
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * np.int32(0x45D9F3B)
+    x = x ^ jax.lax.shift_right_logical(x, 15)
+    x = x * np.int32(0x2C1B3C6D)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    u = jnp.bitwise_and(x, np.int32(0xFFFFFF))   # uniform in [0, 2^24)
+    thr = np.int32(round(rate * (1 << 24)))
+    return (u >= thr).astype(jnp.float32) * np.float32(1.0 / (1.0 - rate))
+
+
+def _dropout_tile(seed, batch_idx, head, q_base, k_base, shape, rate: float):
+    """Keep-factor tile for a (q_base, k_base) block of one example."""
+    i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    seed_b = seed + batch_idx * np.int32(-1771729351)  # example-distinct
+    return _dropout_keep(seed_b, head, i_pos, j_pos, rate)
+
+
 def _tile_contributes(q_base, k_base, length, block_q, block_k):
     """Exact tile skip: only tiles with real queries AND real keys run.
 
@@ -454,9 +490,10 @@ def _split_tile_lists(meta: np.ndarray, nq: int, nk: int):
 
 
 def _fwd_list_kernel(
-    lengths_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, rel_ref,
+    lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, rel_ref,
     o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, *,
     geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale, far,
+    dropout_rate=0.0,
 ):
     """List-driven forward over a static tile subset (split schedule).
 
@@ -469,6 +506,7 @@ def _fwd_list_kernel(
     the caller via logsumexp; rows whose tiles were all skipped emit
     lse = -inf / o = 0 so the combine ignores them."""
     b = pl.program_id(0)
+    hgrp = pl.program_id(1)
     t = pl.program_id(2)
     qi = tmeta_ref[t, 0]
     ki = tmeta_ref[t, 1]
@@ -549,6 +587,12 @@ def _fwd_list_kernel(
             l_scratch[hh] = jnp.broadcast_to(l_next[:, None], l_scratch.shape[1:])
 
             v_tile = v_ref[0, hh]
+            if dropout_rate:
+                head = hgrp * hb + hh
+                keep = _dropout_tile(
+                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base, p.shape, dropout_rate
+                )
+                p = p * keep
             pv = jax.lax.dot_general(
                 p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -568,8 +612,8 @@ def _fwd_list_kernel(
             ).astype(jnp.float32)
 
 
-def _forward_split(q, k, v, lengths, rel_h, meta, geometry, rel_vocab,
-                   block_q, block_k, nq, nk, hb, interpret):
+def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
+                   block_q, block_k, nq, nk, hb, interpret, dropout_rate=0.0):
     """Two list-driven passes (far / structured) + logsumexp combine."""
     batch, seq_len, num_heads, head_dim = q.shape
     far_list, struct_list = _split_tile_lists(np.asarray(meta), nq, nk)
@@ -578,20 +622,20 @@ def _forward_split(q, k, v, lengths, rel_h, meta, geometry, rel_vocab,
     vt = v.transpose(0, 2, 1, 3)
     scale = 1.0 / (head_dim**0.5)
 
-    def im_q(b, h, t, lens, meta_, tm):
+    def im_q(b, h, t, lens, qoff_, meta_, tm):
         return (b, h, tm[t, 0], 0)
 
-    def im_k(b, h, t, lens, meta_, tm):
+    def im_k(b, h, t, lens, qoff_, meta_, tm):
         return (b, h, tm[t, 1], 0)
 
     def run(tlist, far):
         kernel = functools.partial(
             _fwd_list_kernel, geo=geometry, rel_vocab=rel_vocab,
             block_q=block_q, block_k=block_k, nk=nk, hb=hb,
-            softmax_scale=scale, far=far,
+            softmax_scale=scale, far=far, dropout_rate=dropout_rate,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(batch, num_heads // hb, len(tlist) - 1),
             in_specs=[
                 pl.BlockSpec((1, hb, block_q, head_dim), im_q,
@@ -608,7 +652,8 @@ def _forward_split(q, k, v, lengths, rel_h, meta, geometry, rel_vocab,
                 pl.BlockSpec((1, hb, block_q, head_dim), im_q,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hb, block_q, 1),
-                             lambda b, h, t, lens, meta_, tm: (b, h, tm[t, 0], 0),
+                             lambda b, h, t, lens, qoff_, meta_, tm:
+                                 (b, h, tm[t, 0], 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -628,8 +673,8 @@ def _forward_split(q, k, v, lengths, rel_h, meta, geometry, rel_vocab,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(lengths.astype(jnp.int32), jnp.asarray(meta), jnp.asarray(tlist),
-          qt, kt, vt, rel_h)
+        )(lengths.astype(jnp.int32), qoff, jnp.asarray(meta),
+          jnp.asarray(tlist), qt, kt, vt, rel_h)
 
     o_f, lse_f = run(far_list, far=True)
     o_s, lse_s = run(struct_list, far=False)
@@ -644,6 +689,7 @@ def _forward_split(q, k, v, lengths, rel_h, meta, geometry, rel_vocab,
 def _fwd_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
+    dropout_rate=0.0,
 ):
     if rel_vocab:
         rel_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
@@ -652,6 +698,7 @@ def _fwd_kernel(
         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
 
     b = pl.program_id(0)
+    hgrp = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     t = qi * nk + ki
@@ -718,6 +765,14 @@ def _fwd_kernel(
             l_scratch[hh] = jnp.broadcast_to(l_next[:, None], l_scratch.shape[1:])
 
             v_tile = v_ref[0, hh]
+            if dropout_rate:
+                # Reference order (post-softmax dropout): l keeps the
+                # full sum; only the value accumulation sees the mask.
+                head = hgrp * hb + hh
+                keep = _dropout_tile(
+                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base, p.shape, dropout_rate
+                )
+                p = p * keep
             pv = jax.lax.dot_general(
                 p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -793,7 +848,8 @@ def _im_k(b, h, qi, ki, *_):
 
 
 def _attention_forward(q, k, v, rel_table, geometry, lengths,
-                       block_q, block_k, interpret, q_start=0, k_start=0):
+                       block_q, block_k, interpret, q_start=0, k_start=0,
+                       dropout_rate=0.0, dropout_seed=None, batch_start=0):
     batch, seq_len, num_heads, head_dim = q.shape
     block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
         q, k, rel_table, geometry, block_q, block_k, q_start, k_start
@@ -825,9 +881,18 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
         n_far = int((meta_np[:, 3] != 2).sum())
         if (n_far >= 4 if split_env == "1"
                 else n_far >= 0.6 * len(meta_np)):
+            qoff3 = jnp.stack([
+                jnp.asarray(q_start, jnp.int32),
+                jnp.asarray(k_start, jnp.int32),
+                jnp.asarray(
+                    dropout_seed if dropout_seed is not None else 0, jnp.int32
+                ),
+                jnp.asarray(batch_start, jnp.int32),
+            ])
             return _forward_split(
-                q, k, v, lengths, rel_h, meta_np, geometry, rel_vocab,
+                q, k, v, lengths, qoff3, rel_h, meta_np, geometry, rel_vocab,
                 block_q, block_k, nq, nk, hb, interpret,
+                dropout_rate=dropout_rate,
             )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -849,11 +914,14 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     kernel = functools.partial(
         _fwd_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
         block_q=block_q, block_k=block_k, nk=nk, hb=hb,
-        softmax_scale=1.0 / (head_dim**0.5),
+        softmax_scale=1.0 / (head_dim**0.5), dropout_rate=dropout_rate,
     )
-    qoff = jnp.stack(
-        [jnp.asarray(q_start, jnp.int32), jnp.asarray(k_start, jnp.int32)]
-    )
+    qoff = jnp.stack([
+        jnp.asarray(q_start, jnp.int32),
+        jnp.asarray(k_start, jnp.int32),
+        jnp.asarray(dropout_seed if dropout_seed is not None else 0, jnp.int32),
+        jnp.asarray(batch_start, jnp.int32),
+    ])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_heads // hb, nq, nk),
@@ -889,6 +957,7 @@ def _bwd_dq_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
     geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
+    dropout_rate=0.0,
 ):
     if rel_vocab:
         rel_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc = rest
@@ -897,6 +966,7 @@ def _bwd_dq_kernel(
         (dq_ref, dq_acc) = rest
 
     b = pl.program_id(0)
+    hgrp = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     t = qi * nk + ki
@@ -967,6 +1037,13 @@ def _bwd_dq_kernel(
                 do, v_tile, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if dropout_rate:
+                # d(dropout): same mask as the forward, regenerated.
+                head = hgrp * hb + hh
+                keep = _dropout_tile(
+                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base, dp.shape, dropout_rate
+                )
+                dp = dp * keep
             delta = delta_ref[0, hh, :, 0]  # [bq]
             ds = p * (dp - delta[:, None])  # [bq, bk]
             dss.append(ds)
@@ -1008,6 +1085,7 @@ def _bwd_dkv_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
+    dropout_rate=0.0,
 ):
     if rel_vocab:
         rel_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
@@ -1016,6 +1094,7 @@ def _bwd_dkv_kernel(
         dk_ref, dv_ref, dk_acc, dv_acc = rest
 
     b = pl.program_id(0)
+    hgrp = pl.program_id(1)
     ki = pl.program_id(2)  # outer: fixed k tile
     qi = pl.program_id(3)  # inner: q streams
     t = qi * nk + ki
@@ -1076,11 +1155,19 @@ def _bwd_dkv_kernel(
                 do, v_tile, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            p_v = p
+            if dropout_rate:
+                head = hgrp * hb + hh
+                keep = _dropout_tile(
+                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base, dp.shape, dropout_rate
+                )
+                dp = dp * keep
+                p_v = p * keep  # dV sees the dropped probabilities
             delta = delta_ref[0, hh, :, 0]
             ds = p * (dp - delta[:, None])
 
             dv_acc[hh] = dv_acc[hh] + jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
+                p_v, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dk_acc[hh] = dk_acc[hh] + jax.lax.dot_general(
@@ -1095,10 +1182,18 @@ def _bwd_dkv_kernel(
             dv_ref[0, hh] = dv_acc[hh].astype(dv_ref.dtype)
 
 
-def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
+def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
+                        dropout_rate=0.0, static_zero=False):
     q, k, v, rel_table, lengths, qk_offsets, out, lse = residuals
     batch, seq_len, num_heads, head_dim = q.shape
-    q_start, k_start = qk_offsets[0], qk_offsets[1]
+    if qk_offsets.shape[0] < 4:  # pad [q_start, k_start(, seed)] layouts
+        qk_offsets = jnp.concatenate([
+            qk_offsets,
+            jnp.zeros((4 - qk_offsets.shape[0],), qk_offsets.dtype),
+        ])
+    # static_zero: the caller promises the offsets are literal zeros
+    # (single-chip public API) -- unlocks the static tile meta.
+    q_start, k_start = (0, 0) if static_zero else (qk_offsets[0], qk_offsets[1])
     block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta = _prepare(
         q, k, rel_table, geometry, block_q, block_k, q_start, k_start
     )
@@ -1159,7 +1254,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     kernel = functools.partial(
         _bwd_dq_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
         v_pad=v_pad, block_q=block_q, block_k=block_k, nk=nk, hb=hb,
-        softmax_scale=scale,
+        softmax_scale=scale, dropout_rate=dropout_rate,
     )
     res = pl.pallas_call(
         kernel,
@@ -1211,6 +1306,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
     kernel2 = functools.partial(
         _bwd_dkv_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
         block_q=block_q, block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
+        dropout_rate=dropout_rate,
     )
     dk_t, dv_t = pl.pallas_call(
         kernel2,
@@ -1247,55 +1343,75 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
 def _attention(q, k, v, rel_table, lengths, qk_offsets, geometry, block_q,
-               block_k, interpret):
+               block_k, interpret, dropout_rate=0.0, static_zero=False):
     out, _ = _attention_forward(
         q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret,
-        q_start=qk_offsets[0], k_start=qk_offsets[1],
+        q_start=0 if static_zero else qk_offsets[0],
+        k_start=0 if static_zero else qk_offsets[1],
+        dropout_rate=dropout_rate, dropout_seed=qk_offsets[2],
+        batch_start=qk_offsets[3],
     )
     return out
 
 
 def _attention_fwd(q, k, v, rel_table, lengths, qk_offsets, geometry, block_q,
-                   block_k, interpret):
+                   block_k, interpret, dropout_rate=0.0, static_zero=False):
     out, lse = _attention_forward(
         q, k, v, rel_table, geometry, lengths, block_q, block_k, interpret,
-        q_start=qk_offsets[0], k_start=qk_offsets[1],
+        q_start=0 if static_zero else qk_offsets[0],
+        k_start=0 if static_zero else qk_offsets[1],
+        dropout_rate=dropout_rate, dropout_seed=qk_offsets[2],
+        batch_start=qk_offsets[3],
     )
     return out, (q, k, v, rel_table, lengths, qk_offsets, out, lse)
 
 
-def _attention_bwd(geometry, block_q, block_k, interpret, residuals, g):
-    return _attention_backward(residuals, g, geometry, block_q, block_k, interpret)
+def _attention_bwd(geometry, block_q, block_k, interpret, dropout_rate,
+                   static_zero, residuals, g):
+    return _attention_backward(
+        residuals, g, geometry, block_q, block_k, interpret,
+        dropout_rate=dropout_rate, static_zero=static_zero,
+    )
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
-def _attention_norel(q, k, v, lengths, qk_offsets, block_q, block_k, interpret):
+def _attention_norel(q, k, v, lengths, qk_offsets, block_q, block_k, interpret,
+                     dropout_rate=0.0, static_zero=False):
     out, _ = _attention_forward(
         q, k, v, None, None, lengths, block_q, block_k, interpret,
-        q_start=qk_offsets[0], k_start=qk_offsets[1],
+        q_start=0 if static_zero else qk_offsets[0],
+        k_start=0 if static_zero else qk_offsets[1],
+        dropout_rate=dropout_rate, dropout_seed=qk_offsets[2],
+        batch_start=qk_offsets[3],
     )
     return out
 
 
-def _attention_norel_fwd(q, k, v, lengths, qk_offsets, block_q, block_k, interpret):
+def _attention_norel_fwd(q, k, v, lengths, qk_offsets, block_q, block_k,
+                         interpret, dropout_rate=0.0, static_zero=False):
     out, lse = _attention_forward(
         q, k, v, None, None, lengths, block_q, block_k, interpret,
-        q_start=qk_offsets[0], k_start=qk_offsets[1],
+        q_start=0 if static_zero else qk_offsets[0],
+        k_start=0 if static_zero else qk_offsets[1],
+        dropout_rate=dropout_rate, dropout_seed=qk_offsets[2],
+        batch_start=qk_offsets[3],
     )
     return out, (q, k, v, None, lengths, qk_offsets, out, lse)
 
 
-def _attention_norel_bwd(block_q, block_k, interpret, residuals, g):
+def _attention_norel_bwd(block_q, block_k, interpret, dropout_rate,
+                         static_zero, residuals, g):
     dq, dk, dv, _, dlengths, doffs = _attention_backward(
-        residuals, g, None, block_q, block_k, interpret
+        residuals, g, None, block_q, block_k, interpret,
+        dropout_rate=dropout_rate, static_zero=static_zero,
     )
     return dq, dk, dv, dlengths, doffs
 
@@ -1313,8 +1429,17 @@ def pallas_relative_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """Fused, differentiable relative attention.
+
+    ``dropout_rate`` applies the reference-order attention-probs dropout
+    (post-softmax, pre-value-contraction) INSIDE the kernel: the mask is
+    a deterministic hash of (dropout_seed, head, global q/k positions),
+    regenerated identically in the backward and across sequence shards
+    -- no [S, S] mask tensor ever exists.  ``dropout_seed`` (<int32>[])
+    is required when dropout_rate > 0; derive it per training step.
 
     Args:
       q, k, v: <float>[B, S, num_heads, head_dim].
@@ -1329,13 +1454,19 @@ def pallas_relative_attention(
     Returns:
       <q.dtype>[B, S, num_heads, head_dim].
     """
-    zero_offs = jnp.zeros((2,), jnp.int32)
+    seed = jnp.asarray(
+        dropout_seed if dropout_seed is not None else 0, jnp.int32
+    )
+    offs = jnp.stack([jnp.int32(0), jnp.int32(0), seed, jnp.int32(0)])
     if rel_table is not None and geometry is not None:
         return _attention(
-            q, k, v, rel_table, lengths, zero_offs, geometry, block_q, block_k,
-            interpret,
+            q, k, v, rel_table, lengths, offs, geometry, block_q, block_k,
+            interpret, float(dropout_rate), True,
         )
-    return _attention_norel(q, k, v, lengths, zero_offs, block_q, block_k, interpret)
+    return _attention_norel(
+        q, k, v, lengths, offs, block_q, block_k, interpret,
+        float(dropout_rate), True,
+    )
 
 
 def sequence_sharded_pallas_attention(
@@ -1351,6 +1482,8 @@ def sequence_sharded_pallas_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """Sequence-sharded fused attention (forward): shard_map over the mesh.
 
@@ -1374,25 +1507,40 @@ def sequence_sharded_pallas_attention(
     if seq_len % n_seq:
         raise ValueError(f"seq {seq_len} not divisible by {n_seq} shards")
 
-    def local_fn(q_l, k_l, v_l, lengths_l, *maybe_rel):
+    seed_arr = jnp.asarray(
+        dropout_seed if dropout_seed is not None else 0, jnp.int32
+    )
+
+    def local_fn(q_l, k_l, v_l, lengths_l, seed_l, *maybe_rel):
         k_full = jax.lax.all_gather(k_l, seq_axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v_l, seq_axis, axis=1, tiled=True)
         q_start = jax.lax.axis_index(seq_axis) * q_l.shape[1]
-        offs = jnp.stack([q_start.astype(jnp.int32), jnp.int32(0)])
+        # Global positions feed the dropout hash too, so shards drop
+        # exactly the pairs the single-device kernel would.
+        b_start = (
+            jax.lax.axis_index(batch_axis) * q_l.shape[0]
+            if batch_axis else jnp.int32(0)
+        )
+        offs = jnp.stack([
+            q_start.astype(jnp.int32), jnp.int32(0),
+            seed_l.astype(jnp.int32), b_start.astype(jnp.int32),
+        ])
         if maybe_rel:
             # Differentiable: custom-VJP kernel; all_gather transposes to
             # reduce-scatter, replicated rel_table grads psum automatically.
             return _attention(
                 q_l, k_full, v_full, maybe_rel[0], lengths_l, offs,
                 geometry, block_q, block_k, interpret,
+                float(dropout_rate), False,
             )
         return _attention_norel(
-            q_l, k_full, v_full, lengths_l, offs, block_q, block_k, interpret
+            q_l, k_full, v_full, lengths_l, offs, block_q, block_k, interpret,
+            float(dropout_rate), False,
         )
 
     spec = P(batch_axis, seq_axis, None, None)
-    in_specs = [spec, spec, spec, P(batch_axis)]
-    args = [q, k, v, lengths]
+    in_specs = [spec, spec, spec, P(batch_axis), P()]
+    args = [q, k, v, lengths, seed_arr]
     if rel_table is not None and geometry is not None:
         in_specs.append(P(None, None, None))
         args.append(rel_table)
@@ -1419,6 +1567,8 @@ def ring_sequence_sharded_pallas_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """Ring-schedule sequence-sharded fused attention (forward).
 
@@ -1445,7 +1595,7 @@ def ring_sequence_sharded_pallas_attention(
         raise ValueError(f"seq {q.shape[1]} not divisible by {n} shards")
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def _ring_forward(q_l, k_c0, v_c0, rel, lengths_l, my):
+    def _ring_forward(q_l, k_c0, v_c0, rel, lengths_l, my, seed_l, b_start):
         s_loc = q_l.shape[1]
         q_start = my * s_loc
 
@@ -1457,6 +1607,8 @@ def ring_sequence_sharded_pallas_attention(
                 q_l, k_c, v_c, rel, geometry, lengths_l,
                 block_q, block_k, interpret,
                 q_start=q_start, k_start=k_start,
+                dropout_rate=dropout_rate, dropout_seed=seed_l,
+                batch_start=b_start,
             )
             lse_i = lse_i.transpose(0, 2, 1, 3)  # [B, S_loc, H, 1]
             lse_new = jnp.logaddexp(lse_acc, lse_i)
@@ -1482,16 +1634,16 @@ def ring_sequence_sharded_pallas_attention(
         return out, lse
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
-    def _ring(q_l, k_l, v_l, rel, lengths_l, my):
-        out, _ = _ring_forward(q_l, k_l, v_l, rel, lengths_l, my)
+    def _ring(q_l, k_l, v_l, rel, lengths_l, my, seed_l, b_start):
+        out, _ = _ring_forward(q_l, k_l, v_l, rel, lengths_l, my, seed_l, b_start)
         return out
 
-    def _ring_fwd(q_l, k_l, v_l, rel, lengths_l, my):
-        out, lse = _ring_forward(q_l, k_l, v_l, rel, lengths_l, my)
-        return out, (q_l, k_l, v_l, rel, lengths_l, my, out, lse)
+    def _ring_fwd(q_l, k_l, v_l, rel, lengths_l, my, seed_l, b_start):
+        out, lse = _ring_forward(q_l, k_l, v_l, rel, lengths_l, my, seed_l, b_start)
+        return out, (q_l, k_l, v_l, rel, lengths_l, my, seed_l, b_start, out, lse)
 
     def _ring_bwd(res, g):
-        q_l, k_l, v_l, rel, lengths_l, my, out, lse = res
+        q_l, k_l, v_l, rel, lengths_l, my, seed_l, b_start, out, lse = res
         s_loc = q_l.shape[1]
         q_start = my * s_loc
         # Global logsumexp makes the per-chunk backward exact: p_chunk =
@@ -1502,12 +1654,14 @@ def ring_sequence_sharded_pallas_attention(
         def step(carry, i):
             dq_acc, drel_acc, k_c, v_c, dk_acc, dv_acc = carry
             k_start = ((my - i) % n) * s_loc
-            offs = jnp.stack(
-                [q_start.astype(jnp.int32), k_start.astype(jnp.int32)]
-            )
+            offs = jnp.stack([
+                q_start.astype(jnp.int32), k_start.astype(jnp.int32),
+                seed_l.astype(jnp.int32), b_start.astype(jnp.int32),
+            ])
             residuals = (q_l, k_c, v_c, rel, lengths_l, offs, out, lse_bhs1)
             grads = _attention_backward(
-                residuals, g, geometry, block_q, block_k, interpret
+                residuals, g, geometry, block_q, block_k, interpret,
+                dropout_rate=dropout_rate,
             )
             dq_i, dk_c, dv_c, drel_i = grads[0], grads[1], grads[2], grads[3]
             dq_acc = dq_acc + dq_i.astype(jnp.float32)
@@ -1532,6 +1686,7 @@ def ring_sequence_sharded_pallas_attention(
         (dq, drel, _, _, dk, dv), _ = jax.lax.scan(step, init, jnp.arange(n))
         dlen = np.zeros(lengths_l.shape, dtype=jax.dtypes.float0)
         dmy = np.zeros(my.shape, dtype=jax.dtypes.float0)
+        dseed = np.zeros(seed_l.shape, dtype=jax.dtypes.float0)
         return (
             dq.astype(q_l.dtype),
             dk.astype(k_l.dtype),
@@ -1539,18 +1694,29 @@ def ring_sequence_sharded_pallas_attention(
             drel.astype(rel.dtype) if rel is not None else None,
             dlen,
             dmy,
+            dseed,
+            np.zeros(b_start.shape, dtype=jax.dtypes.float0),
         )
 
     _ring.defvjp(_ring_fwd, _ring_bwd)
 
-    def local_fn(q_l, k_l, v_l, lengths_l, *maybe_rel):
+    seed_arr = jnp.asarray(
+        dropout_seed if dropout_seed is not None else 0, jnp.int32
+    )
+
+    def local_fn(q_l, k_l, v_l, lengths_l, seed_l, *maybe_rel):
         rel = maybe_rel[0] if maybe_rel else None
         my = jax.lax.axis_index(seq_axis)
-        return _ring(q_l, k_l, v_l, rel, lengths_l, my)
+        b_start = (
+            jax.lax.axis_index(batch_axis) * q_l.shape[0]
+            if batch_axis else jnp.int32(0)
+        )
+        return _ring(q_l, k_l, v_l, rel, lengths_l, my, seed_l,
+                     b_start.astype(jnp.int32))
 
     spec = P(batch_axis, seq_axis, None, None)
-    in_specs = [spec, spec, spec, P(batch_axis)]
-    args = [q, k, v, lengths]
+    in_specs = [spec, spec, spec, P(batch_axis), P()]
+    args = [q, k, v, lengths, seed_arr]
     if rel_table is not None and geometry is not None:
         in_specs.append(P(None, None, None))
         args.append(rel_table)

@@ -19,20 +19,30 @@ from typing import List, Sequence
 
 
 def _round_robin_budgets(lengths: Sequence[int], total: int) -> List[int]:
-    """Unit-per-round water filling with left-to-right partial rounds."""
-    budgets = [0] * len(lengths)
-    remaining = total
-    while remaining > 0:
-        gave = False
-        for i, n in enumerate(lengths):
-            if budgets[i] < n:
-                budgets[i] += 1
-                remaining -= 1
-                gave = True
-                if remaining == 0:
-                    break
-        if not gave:
+    """Unit-per-round water filling with left-to-right partial rounds.
+
+    Closed form (O(F log maxN), not O(total) -- this runs per example in
+    the host input hot path): r = the largest number of whole rounds
+    with sum(min(n_i, r)) <= total, then the partial round hands one
+    unit each to still-active fields left to right.
+    """
+    if not lengths:
+        return []
+    lo, hi = 0, max(lengths)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if sum(min(n, mid) for n in lengths) <= total:
+            lo = mid
+        else:
+            hi = mid - 1
+    budgets = [min(n, lo) for n in lengths]
+    remaining = total - sum(budgets)
+    for i, n in enumerate(lengths):
+        if remaining <= 0:
             break
+        if n > lo:
+            budgets[i] += 1
+            remaining -= 1
     return budgets
 
 

@@ -186,13 +186,17 @@ class PretrainingTask:
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def make_eval_step(self):
+    def make_eval_step(self, mesh: Optional[Mesh] = None):
         def step(params, batch):
             loss, (_, metrics) = self.compute_loss(params, batch, None, True)
             metrics = dict(metrics)
             metrics["total_loss"] = (loss, 1.0)
             return metrics
 
+        if mesh is not None:
+            # Multi-host: batches arrive as global arrays (shard_batch);
+            # replicate outputs so every process can fetch them.
+            return jax.jit(step, out_shardings=NamedSharding(mesh, P()))
         return jax.jit(step)
 
 
@@ -259,7 +263,7 @@ class ClassificationTask:
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def make_eval_step(self):
+    def make_eval_step(self, mesh: Optional[Mesh] = None):
         def step(params, batch):
             loss, (outputs, metrics) = self.compute_loss(params, batch, None, True)
             metrics = dict(metrics)
@@ -274,6 +278,8 @@ class ClassificationTask:
                 probs = jnp.argmax(logits, axis=-1).astype(jnp.float32)
             return metrics, probs
 
+        if mesh is not None:
+            return jax.jit(step, out_shardings=NamedSharding(mesh, P()))
         return jax.jit(step)
 
     def make_inference_step(self, mesh=None):

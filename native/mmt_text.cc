@@ -104,7 +104,7 @@ WpVocab* mmt_wp_create(const char* vocab_blob, int64_t len, int lower_case) {
     size_t n = nl ? (size_t)(nl - p) : (size_t)(end - p);
     if (n > 0) {
       std::string tok(p, n);
-      wp->vocab.emplace(tok, idx);
+      wp->vocab[tok] = idx;  // last occurrence wins (== Python load_vocab)
       if (tok.size() >= 2 && tok.front() == '[' && tok.back() == ']') {
         wp->preserve.insert(tok);
         if (tok == "[UNK]") wp->unk_id = idx;

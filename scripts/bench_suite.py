@@ -149,7 +149,15 @@ def _measure_pretrain_step(seq_len: int = 256, batch: int = 64,
 
 
 def main():
+    import argparse
+
     import bench
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--long", action="store_true",
+                    help="also bench long-context training (4k/8k/16k; "
+                         "each shape is a multi-minute compile)")
+    args = ap.parse_args()
 
     results = []
     eps4k = _measure_inference(4096, 32, iters=8)
@@ -169,6 +177,14 @@ def main():
         "metric": "pretrain_train_step_s256", "value": round(eps_train, 3),
         "unit": "examples/sec",
     })
+    if args.long:
+        for s, b in ((4096, 8), (8192, 4), (16384, 2)):
+            eps = _measure_pretrain_step(seq_len=s, batch=b, micro=b)
+            results.append({
+                "metric": f"pretrain_train_step_s{s}", "value": round(eps, 3),
+                "unit": "examples/sec",
+                "tokens_per_sec": round(eps * s, 1),
+            })
     for r in results:
         print(json.dumps(r))
 

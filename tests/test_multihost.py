@@ -123,3 +123,108 @@ def test_two_process_training(tmp_path):
         assert math.isfinite(r["total_loss"]), r
     # Collective checkpoint save at step 3 landed.
     assert os.path.isdir(os.path.join(model_dir, "3"))
+
+
+_CLS_SCRIPT = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, model_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid
+)
+from mmt_tpu.cli.train import main
+main([
+    "--experiment=mmt/classification",
+    "--mode=train_and_eval",
+    "--model_dir=" + model_dir,
+    "--params_override=" + sys.argv[4],
+])
+print("PROC_OK", pid)
+"""
+
+
+def test_two_process_train_and_eval(tmp_path):
+    """Multi-host eval: per-process validation shards assembled into
+    global arrays, replicated metrics/probs, gathered AUC inputs."""
+    import numpy as np
+
+    from tests.test_data_pipeline import make_vocab, write_records
+
+    rng = np.random.default_rng(0)
+    vocab = make_vocab(tmp_path)
+    train_path = write_records(str(tmp_path / "train.tfrecord"), 24, rng)
+    val_path = write_records(str(tmp_path / "val.tfrecord"), 16, rng)
+
+    data_common = {
+        "vocab_filename": vocab,
+        "image_size": 32,
+        "patch_size": 16,
+        "max_seq_len": 32,
+        "min_shift": 2,
+        "global_batch_size": 24,
+    }
+    override = yaml.safe_dump(
+        {
+            "task": {
+                "model": {
+                    "encoder": {
+                        "mmt": {
+                            "vocab_size": 40,
+                            "hidden_size": 32,
+                            "num_hidden_layers": 1,
+                            "num_attention_heads": 2,
+                            "intermediate_size": 64,
+                            "relative_pos_max_distance": 3,
+                            "relative_vocab_size": 12,
+                            "relative_att_num_core_layers": 1,
+                            "compute_dtype": "float32",
+                            "hidden_dropout_prob": 0.0,
+                            "attention_probs_dropout_prob": 0.0,
+                        }
+                    },
+                    "num_classes": 2,
+                    "cls_heads": [
+                        {"inner_dim": 32, "num_classes": 2, "name": "itm"}
+                    ],
+                },
+                "train_data": {**data_common, "input_path": train_path,
+                               "is_training": True},
+                "validation_data": {**data_common, "input_path": val_path,
+                                    "is_training": False},
+            },
+            "trainer": {
+                "train_steps": 2,
+                "steps_per_loop": 1,
+                "summary_interval": 1,
+                "checkpoint_interval": 2,
+                "validation_interval": 2,
+                "validation_steps": 1,
+            },
+        }
+    )
+    port = str(_free_port())
+    model_dir = str(tmp_path / "model")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CLS_SCRIPT, str(i), port, model_dir, override],
+            env=env, cwd=_ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+
+    with open(os.path.join(model_dir, "validation_summaries.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and any("auc" in r for r in rows)
+    for r in rows:
+        assert math.isfinite(r["total_loss"])

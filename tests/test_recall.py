@@ -103,6 +103,27 @@ class TestRecallGolden:
         get_recall_at_k_from_dataframe(df)
         assert list(df.columns) == cols  # reference adds 'positive'; fixed
 
+    def test_fractional_gt_quirk(self):
+        """Duplicate rows with disagreeing gt average to a fractional gt
+        cell; the reference's clip-based denominator then yields recall
+        2.0 on this frame (pinned against the reference algorithm)."""
+        df = pd.DataFrame(
+            [(0, 0, 0, 0.9), (0, 0, 1, 0.5), (1, 0, 0, 0.3)],
+            columns=["image_index", "text_index", "gt_image_index", "output"],
+        )
+        result = get_recall_at_k_from_dataframe(df)
+        assert result["i2t @  1"] == "2.0000"
+        assert result["t2i @  1"] == "2.0000"
+
+    def test_no_ground_truth_is_nan(self):
+        """No query has in-pool gt: the reference's 0/0 prints 'nan'."""
+        df = pd.DataFrame(
+            [(0, 0, 5, 0.4), (1, 0, 5, 0.2)],
+            columns=["image_index", "text_index", "gt_image_index", "output"],
+        )
+        result = get_recall_at_k_from_dataframe(df)
+        assert all(v == "nan" for v in result.values())
+
     def test_perfect_oracle(self):
         df = _df()
         df["output"] = (df["image_index"] == df["gt_image_index"]).astype(float)
