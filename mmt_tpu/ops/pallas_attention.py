@@ -879,8 +879,12 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     if rel_vocab and static_offsets and seq_len == k.shape[1] and split_env != "0":
         meta_np = _build_tile_meta(geometry, seq_len, block_q, block_k)
         n_far = int((meta_np[:, 3] != 2).sum())
-        if (n_far >= 4 if split_env == "1"
-                else n_far >= 0.6 * len(meta_np)):
+        # Scoped-memory cap: the list kernels prefetch the full tile
+        # tables into SMEM; at ~2k tiles (16k tokens at 256x512 blocks)
+        # the scoped allocation fails on v5e.
+        fits = len(meta_np) <= 640
+        if fits and (n_far >= 4 if split_env == "1"
+                     else n_far >= 0.6 * len(meta_np)):
             qoff3 = jnp.stack([
                 jnp.asarray(q_start, jnp.int32),
                 jnp.asarray(k_start, jnp.int32),

@@ -159,34 +159,34 @@ def main():
                          "each shape is a multi-minute compile)")
     args = ap.parse_args()
 
-    results = []
+    def emit(r):
+        print(json.dumps(r), flush=True)
+
     eps4k = _measure_inference(4096, 32, iters=8)
     base = bench.cpu_baseline()
-    results.append({
+    emit({
         "metric": "fashion_gen_4k_retrieval_inference", "value": round(eps4k, 3),
         "unit": "examples/sec", "vs_baseline": round(eps4k / base, 2),
     })
     for s, b in ((512, 256), (256, 512)):
         eps = _measure_inference(s, b, iters=8)
-        results.append({
+        emit({
             "metric": f"retrieval_inference_s{s}", "value": round(eps, 3),
             "unit": "examples/sec",
         })
     eps_train = _measure_pretrain_step()
-    results.append({
+    emit({
         "metric": "pretrain_train_step_s256", "value": round(eps_train, 3),
         "unit": "examples/sec",
     })
     if args.long:
         for s, b in ((4096, 8), (8192, 4), (16384, 2)):
             eps = _measure_pretrain_step(seq_len=s, batch=b, micro=b)
-            results.append({
+            emit({
                 "metric": f"pretrain_train_step_s{s}", "value": round(eps, 3),
                 "unit": "examples/sec",
                 "tokens_per_sec": round(eps * s, 1),
             })
-    for r in results:
-        print(json.dumps(r))
 
 
 if __name__ == "__main__":
