@@ -116,6 +116,10 @@ def _build_tile_meta(
             else:
                 kind = 2
             meta[qi * nk + ki] = (lo, hi, has_img, kind)
+    # [4, T] layout: SMEM scalar operands are lane-padded to 128, so a
+    # [T, 4] table costs T * 512 B of the 1 MB SMEM (OOM at 2048 tiles);
+    # transposed it costs 4 padded rows regardless of T.
+    meta = np.ascontiguousarray(meta.T)
     meta.setflags(write=False)  # lru_cached: shared across callers
     return meta
 
@@ -146,7 +150,7 @@ def _build_tile_meta_traced(geo, seq_q, seq_k, block_q, block_k, q_start,
         empty & all_text & (off_min > d), 0,
         jnp.where(empty & all_text & (off_max < -d), 1, 2),
     )
-    return jnp.stack([lo, hi, has_img, kind], axis=1).astype(jnp.int32)
+    return jnp.stack([lo, hi, has_img, kind], axis=0).astype(jnp.int32)
 
 
 def _image_ids_2d(i_pos, j_pos, geo: RelGeometry):
@@ -263,7 +267,7 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
             return tuple(out)
 
         biases = list(jax.lax.cond(
-            meta_ref[t, 0] <= meta_ref[t, 1], band_bias,
+            meta_ref[0, t] <= meta_ref[1, t], band_bias,
             lambda bs: tuple(bs), tuple(biases),
         ))
 
@@ -311,7 +315,7 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
             return tuple(out)
 
         biases = list(jax.lax.cond(
-            meta_ref[t, 2] == 1, image_bias, lambda bs: tuple(bs), tuple(biases),
+            meta_ref[2, t] == 1, image_bias, lambda bs: tuple(bs), tuple(biases),
         ))
     return biases
 
@@ -332,7 +336,7 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
         return jnp.where(lane == vid, rowsum[:, None], 0.0)
 
     def far_dsv():
-        is_right = (meta_ref[t, 3] == 0).astype(dtype)
+        is_right = (meta_ref[3, t] == 0).astype(dtype)
         out = []
         for ds in dss:
             rowsum = jnp.sum(ds, axis=1)
@@ -369,7 +373,7 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
             return tuple(out)
 
         dsvs = jax.lax.cond(
-            meta_ref[t, 0] <= meta_ref[t, 1], band_dsv,
+            meta_ref[0, t] <= meta_ref[1, t], band_dsv,
             lambda x: tuple(x), tuple(dsvs),
         )
 
@@ -386,7 +390,7 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
                 return tuple(out)
 
             dsvs = jax.lax.cond(
-                meta_ref[t, 2] == 1, image_dsv, lambda x: tuple(x), dsvs
+                meta_ref[2, t] == 1, image_dsv, lambda x: tuple(x), dsvs
             )
 
             if geo.text_part_id < rel_vocab:
@@ -403,7 +407,7 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
                 )
         return tuple(dsvs)
 
-    return jax.lax.cond(meta_ref[t, 3] == 2, general_dsv, far_dsv)
+    return jax.lax.cond(meta_ref[3, t] == 2, general_dsv, far_dsv)
 
 
 def _dropout_keep(seed, head, i_pos, j_pos, rate: float):
@@ -475,18 +479,19 @@ def _split_tile_lists(meta: np.ndarray, nq: int, nk: int):
     ``struct`` holds kind-2 tiles.  The extra guard row (-1, 0, 2) lets
     the kernel read tmeta[t + 1] unconditionally."""
     far, struct = [], []
+    kind = meta[3]
     for qi in range(nq):
         row_far = [
-            (qi, ki, int(meta[qi * nk + ki, 3] == 1))
-            for ki in range(nk) if meta[qi * nk + ki, 3] != 2
+            (qi, ki, int(kind[qi * nk + ki] == 1))
+            for ki in range(nk) if kind[qi * nk + ki] != 2
         ]
         far.extend(row_far if row_far else [(qi, 0, 2)])
         struct.extend(
-            (qi, ki, 0) for ki in range(nk) if meta[qi * nk + ki, 3] == 2
+            (qi, ki, 0) for ki in range(nk) if kind[qi * nk + ki] == 2
         )
     guard = (-1, 0, 2)
-    return (np.asarray(far + [guard], np.int32),
-            np.asarray(struct + [guard], np.int32))
+    return (np.asarray(far + [guard], np.int32).T.copy(),
+            np.asarray(struct + [guard], np.int32).T.copy())
 
 
 def _fwd_list_kernel(
@@ -508,10 +513,10 @@ def _fwd_list_kernel(
     b = pl.program_id(0)
     hgrp = pl.program_id(1)
     t = pl.program_id(2)
-    qi = tmeta_ref[t, 0]
-    ki = tmeta_ref[t, 1]
-    flag = tmeta_ref[t, 2]
-    prev_qi = tmeta_ref[jnp.maximum(t - 1, 0), 0]
+    qi = tmeta_ref[0, t]
+    ki = tmeta_ref[1, t]
+    flag = tmeta_ref[2, t]
+    prev_qi = tmeta_ref[0, jnp.maximum(t - 1, 0)]
 
     @pl.when((t == 0) | (prev_qi != qi))
     def _init():
@@ -599,7 +604,7 @@ def _fwd_list_kernel(
             )
             acc_scratch[hh] = acc_scratch[hh] * alpha[:, None] + pv
 
-    nxt_qi = tmeta_ref[t + 1, 0]
+    nxt_qi = tmeta_ref[0, t + 1]
 
     @pl.when((t == pl.num_programs(2) - 1) | (nxt_qi != qi))
     def _finalize():
@@ -623,10 +628,10 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
     scale = 1.0 / (head_dim**0.5)
 
     def im_q(b, h, t, lens, qoff_, meta_, tm):
-        return (b, h, tm[t, 0], 0)
+        return (b, h, tm[0, t], 0)
 
     def im_k(b, h, t, lens, qoff_, meta_, tm):
-        return (b, h, tm[t, 1], 0)
+        return (b, h, tm[1, t], 0)
 
     def run(tlist, far):
         kernel = functools.partial(
@@ -636,7 +641,7 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(batch, num_heads // hb, len(tlist) - 1),
+            grid=(batch, num_heads // hb, tlist.shape[1] - 1),
             in_specs=[
                 pl.BlockSpec((1, hb, block_q, head_dim), im_q,
                              memory_space=pltpu.VMEM),
@@ -653,7 +658,7 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hb, block_q, 1),
                              lambda b, h, t, lens, qoff_, meta_, tm:
-                                 (b, h, tm[t, 0], 0),
+                                 (b, h, tm[0, t], 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -835,7 +840,7 @@ def _prepare(q, k, rel_table, geometry, block_q, block_k, q_start=0, k_start=0):
             )
     else:
         rel_vocab, v_pad, rel_h = 0, 0, None
-        meta = jnp.zeros((nq * nk, 4), jnp.int32)
+        meta = jnp.zeros((4, nq * nk), jnp.int32)
     return block_q, block_k, nq, nk, rel_vocab, v_pad, rel_h, meta
 
 
@@ -878,13 +883,9 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     split_env = os.environ.get("MMT_ATTN_SPLIT", "auto")
     if rel_vocab and static_offsets and seq_len == k.shape[1] and split_env != "0":
         meta_np = _build_tile_meta(geometry, seq_len, block_q, block_k)
-        n_far = int((meta_np[:, 3] != 2).sum())
-        # Scoped-memory cap: the list kernels prefetch the full tile
-        # tables into SMEM; at ~2k tiles (16k tokens at 256x512 blocks)
-        # the scoped allocation fails on v5e.
-        fits = len(meta_np) <= 640
-        if fits and (n_far >= 4 if split_env == "1"
-                     else n_far >= 0.6 * len(meta_np)):
+        n_tiles = meta_np.shape[1]
+        n_far = int((meta_np[3] != 2).sum())
+        if (n_far >= 4 if split_env == "1" else n_far >= 0.6 * n_tiles):
             qoff3 = jnp.stack([
                 jnp.asarray(q_start, jnp.int32),
                 jnp.asarray(k_start, jnp.int32),

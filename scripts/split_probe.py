@@ -23,7 +23,7 @@ lengths = jnp.asarray(rng.integers(S // 2, S + 1, (B,)), jnp.int32)
 _, _, nq, nk, rel_vocab, v_pad, rel_h, meta = pa._prepare(q, k, tab, geo, BQ, BK)
 meta_np = pa._build_tile_meta(geo, S, BQ, BK)
 far_list, struct_list = pa._split_tile_lists(meta_np, nq, nk)
-print(f"far={len(far_list)-1} struct={len(struct_list)-1}")
+print(f"far={far_list.shape[1]-1} struct={struct_list.shape[1]-1}")
 
 which = sys.argv[1] if len(sys.argv) > 1 else "both"
 
@@ -39,19 +39,19 @@ def one_pass(tlist, far):
     scale = 1.0 / (D ** 0.5)
     hb = 4
 
-    def im_q(b, h, t, lens, meta_, tm):
-        return (b, h, tm[t, 0], 0)
+    def im_q(b, h, t, lens, qoff_, meta_, tm):
+        return (b, h, tm[0, t], 0)
 
-    def im_k(b, h, t, lens, meta_, tm):
-        return (b, h, tm[t, 1], 0)
+    def im_k(b, h, t, lens, qoff_, meta_, tm):
+        return (b, h, tm[1, t], 0)
 
     kernel = functools.partial(
         pa._fwd_list_kernel, geo=geo, rel_vocab=rel_vocab,
         block_q=BQ, block_k=BK, nk=nk, hb=hb, softmax_scale=scale, far=far,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, H // hb, len(tlist) - 1),
+        num_scalar_prefetch=4,
+        grid=(B, H // hb, tlist.shape[1] - 1),
         in_specs=[
             pl.BlockSpec((1, hb, BQ, D), im_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, BK, D), im_k, memory_space=pltpu.VMEM),
@@ -62,7 +62,7 @@ def one_pass(tlist, far):
         out_specs=(
             pl.BlockSpec((1, hb, BQ, D), im_q, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, BQ, 1),
-                         lambda b, h, t, lens, meta_, tm: (b, h, tm[t, 0], 0),
+                         lambda b, h, t, lens, qoff_, meta_, tm: (b, h, tm[0, t], 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -82,7 +82,8 @@ def one_pass(tlist, far):
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(lengths, jnp.asarray(meta_np), jnp.asarray(tlist), qt_, kt, vt, rel_h)
+        )(lengths, jnp.zeros((4,), jnp.int32), jnp.asarray(meta_np),
+          jnp.asarray(tlist), qt_, kt, vt, rel_h)
         return o.transpose(0, 2, 1, 3)
     return f
 

@@ -207,7 +207,7 @@ def test_split_schedule_matches_full(monkeypatch):
     B, S, H, D, V = 2, 512, 4, 32, 25
     block = 64
     meta = pa._build_tile_meta(geo, S, block, block)
-    assert int((meta[:, 3] != 2).sum()) >= 4  # split-eligible
+    assert int((meta[3] != 2).sum()) >= 4  # split-eligible
 
     q, k, v, table = _rand_inputs(B, S, H, D, V, seed=3)
     lengths = jnp.asarray([384, 512], jnp.int32)

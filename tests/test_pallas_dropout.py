@@ -201,3 +201,25 @@ def test_model_training_uses_fused_with_dropout(monkeypatch):
     assert calls["n"] > 0  # fused path taken in training mode
     flat = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_split_schedule_with_dropout(monkeypatch):
+    """Forced far/structured split + dropout: each (q, k) pair lives in
+    exactly one pass, so the combined output must equal the full-kernel
+    dropout output exactly."""
+    monkeypatch.setenv("MMT_ATTN_SPLIT", "1")
+    q, k, v, table, lengths = _setup()
+    got_split = pallas_relative_attention(
+        q, k, v, table, GEO, lengths, block_q=BLOCK, block_k=BLOCK,
+        interpret=True, dropout_rate=RATE, dropout_seed=jnp.int32(SEED),
+    )
+    monkeypatch.setenv("MMT_ATTN_SPLIT", "0")
+    got_full = pallas_relative_attention(
+        q, k, v, table, GEO, lengths, block_q=BLOCK, block_k=BLOCK,
+        interpret=True, dropout_rate=RATE, dropout_seed=jnp.int32(SEED),
+    )
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(
+        np.asarray(got_split) * m, np.asarray(got_full) * m,
+        atol=1e-5, rtol=1e-5,
+    )
