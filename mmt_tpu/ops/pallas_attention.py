@@ -12,21 +12,34 @@ fused at long sequence lengths:
 * **No relative-id tensor exists anywhere**: the MMT id scheme (2D patch
   window + clipped 1D text + part padding) is a closed-form function of
   positions, regenerated from index arithmetic only where needed:
-    - far all-text tiles clip to a single id => rank-1 bias, no
-      per-element work (tile kind 0/1, scalar-prefetched);
-    - the |offset| <= D diagonal band runs a per-offset select-accumulate
-      only in tiles that intersect it (gated by band bounds);
+    - the |offset| <= D text band arrives via an augmented-table strip
+      and ONE strided roll (skew) per head + a single select against the
+      clip values -- no per-offset loop;
+    - far all-text tiles degenerate to the rank-1 clip value;
     - the 2D image-image block lives in one tile (P^2 <= block);
-    - OOV part-padding ids => exactly zero bias (one-hot semantics);
-      in-vocab part ids => masked rank-1 terms.
+    - OOV part-padding ids => exactly zero bias (one-hot semantics, a
+      multiply-form region mask); in-vocab part ids => rank-1 terms.
+  Four heads pack per grid step, sharing every position mask.
+* **Cost scales with real length, not padded S**: only real-query x
+  real-key tiles run (pad outputs are provably unused; their true
+  gradients are exactly zero), and a static far/structured split
+  schedule (two list-driven passes + logsumexp combine) is available
+  when most tiles are far (`MMT_ATTN_SPLIT`).
+* **Attention-probs dropout runs in-kernel** (reference order:
+  post-softmax, pre-value contraction) via a deterministic
+  multiply-xorshift hash of (seed, example, head, global positions) --
+  no PRNG primitive, no [S, S] mask tensor, identical regeneration in
+  the backward and across sequence/data shards.
 * Padding masks are computed in-kernel from per-example lengths with the
   reference's segmented semantics; masked logits get the additive -10000
   used by the dense XLA path (numerically aligned paths).
 * Backward: two kernels (dq+dRelTable with a per-(b,h) accumulator;
   dk+dv with q streamed) recompute p from the saved logsumexp, mirroring
   the forward bias structure; dRelTable flows through the same banded
-  decomposition (masked row-sums into a [bq, V_pad] dsv, then MXU
-  contractions).
+  decomposition (per-id-class masked row-sums into a [bq, V_pad] dsv in
+  multiply form with masks shared across heads, then MXU contractions).
+* Tile metadata is scalar-prefetched as [4, T] (SMEM lane padding makes
+  [T, 4] cost 512 B/row -- a 1 MB OOM at 2k tiles).
 
 Numerics: logits, softmax statistics, and accumulators are float32
 regardless of input dtype (bfloat16 q/k/v supported).
