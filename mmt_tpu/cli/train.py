@@ -253,15 +253,25 @@ def main(argv=None):
                 weights = np.concatenate(weights_all)
                 if multiproc:
                     # probs are already global (replicated output over the
-                    # assembled batch); gather labels/weights to match.
+                    # assembled batch), concatenated step-major with each
+                    # step's rows process-major.  process_allgather stacks
+                    # [P, n_steps * local] (process-major), so transpose to
+                    # step-major before flattening or the (label, prob)
+                    # pairing is scrambled for validation_steps > 1.
                     from jax.experimental import multihost_utils
 
-                    labels = np.asarray(
-                        multihost_utils.process_allgather(labels)
-                    ).reshape(-1)
-                    weights = np.asarray(
-                        multihost_utils.process_allgather(weights)
-                    ).reshape(-1)
+                    n_steps = len(labels_all)
+
+                    def _gather_step_major(x):
+                        g = np.asarray(multihost_utils.process_allgather(x))
+                        return (
+                            g.reshape(g.shape[0], n_steps, -1)
+                            .transpose(1, 0, 2)
+                            .reshape(-1)
+                        )
+
+                    labels = _gather_step_major(labels)
+                    weights = _gather_step_major(weights)
                 result["auc"] = auc_pr(
                     labels, np.concatenate(probs_all).reshape(-1), weights
                 )

@@ -38,7 +38,8 @@ from mmt_tpu.text.wordpiece import BertTokenizer
 
 
 def _glob_shard(
-    patterns: str | List[str], shard_index: int, num_shards: int, rng=None
+    patterns: str | List[str], shard_index: int, num_shards: int,
+    seed: Optional[int] = None, epoch: int = 0,
 ) -> List[str]:
     if isinstance(patterns, str):
         patterns = [p for p in patterns.split(",") if p]
@@ -48,8 +49,18 @@ def _glob_shard(
         if not matched:
             raise ValueError(f"{p} does not match any files.")
         files.extend(matched)
-    if rng is not None:
-        rng.shuffle(files)
+    if seed is not None:
+        # Shard-INDEPENDENT file order: every shard must walk the same
+        # sequence for files[shard::n] slices to be disjoint and for
+        # record-striding to stride one identical record stream.  (A
+        # shard-dependent rng here made both branches non-disjoint.)
+        # Epoch-varied so repeat still reshuffles between epochs, in
+        # lockstep across shards (tf.data list_files(shuffle, seed)
+        # semantics, src/data/pretrain_dataloader.py:112-122).
+        order = np.random.default_rng(
+            (int(seed) + epoch * 1000003) & 0x7FFFFFFF
+        )
+        order.shuffle(files)
     if len(files) < num_shards:
         # Fewer files than input pipelines: file-level sharding would
         # starve some shards (a multi-host process would then hang its
@@ -112,14 +123,16 @@ class _BaseLoader:
         self.tokenizer = tokenizer
         self.assembler = ExampleAssembler(config, tokenizer)
 
-    def _record_iter(self, patterns, shard_index, num_shards, rng, repeat):
+    def _record_iter(self, patterns, shard_index, num_shards, seed, repeat):
         from mmt_tpu.data import native
 
         use_native = native.available()
+        epoch = 0
         while True:
             files, stride_records = _glob_shard(
-                patterns, shard_index, num_shards, rng
+                patterns, shard_index, num_shards, seed=seed, epoch=epoch
             )
+            epoch += 1
             i = 0
             for path in files:
                 records = (native.iter_records(path) if use_native
@@ -250,7 +263,8 @@ class MmtPretrainLoader(_BaseLoader):
         do_itm = "itm" in (cfg.tasks or "")
 
         records = self._record_iter(
-            cfg.input_path, shard_index, num_shards, rng, repeat=cfg.is_training
+            cfg.input_path, shard_index, num_shards, cfg.seed,
+            repeat=cfg.is_training,
         )
         # ITM doubles the batch (ratio 1): collect half per matching call.
         matching_bsz = batch_size // 2 if do_itm else batch_size
@@ -326,7 +340,8 @@ class MmtClassificationLoader(_BaseLoader):
         collect = max(1, batch_size // (ratio + 1))
         rng = np.random.default_rng(cfg.seed + shard_index)
         records = self._record_iter(
-            cfg.input_path, shard_index, num_shards, rng, repeat=cfg.is_training
+            cfg.input_path, shard_index, num_shards, cfg.seed,
+            repeat=cfg.is_training,
         )
 
         def matched_batches():

@@ -162,6 +162,15 @@ int64_t mmt_wp_tokenize(WpVocab* wp, const char* text, int64_t len,
         if (ch >= 'A' && ch <= 'Z') ch += 32;
       // NFD accent stripping is identity on ASCII.
     }
+    // Re-check preserve AFTER lowercasing (mirrors the Python
+    // BasicTokenizer._split_punct re-check): text "[UNUSED0]" with
+    // vocab token "[unused0]" stays whole instead of punct-splitting.
+    if (wp->preserve.count(tok)) {
+      auto it = wp->vocab.find(tok);
+      ids.push_back(it->second);
+      word_end.push_back((int32_t)ids.size());
+      continue;
+    }
     // Punctuation split: each punct char its own word, runs of
     // non-punct chars form words (BasicTokenizer._split_punct).
     word.clear();

@@ -318,6 +318,36 @@ class TestDeterminism:
         b1 = next(iter(loader.load(shard_index=1, num_shards=2)))
         assert not np.array_equal(b0["word_ids"], b1["word_ids"])
 
+    @pytest.mark.parametrize("n_files,num_shards", [(2, 4), (8, 4)])
+    def test_shards_partition_records(self, tmp_path, n_files, num_shards):
+        # Both sharding branches must partition the record set exactly:
+        # record-level striding (files < shards) and file slicing
+        # (files >= shards).  Regression: a shard-dependent file-order
+        # rng duplicated some records across shards and dropped others.
+        rng = np.random.default_rng(11)
+        vocab = make_vocab(tmp_path)
+        paths = [
+            write_records(str(tmp_path / f"p{n_files}_{i}.tfrecord"), 6, rng)
+            for i in range(n_files)
+        ]
+        all_recs = sorted(
+            bytes(r) for p in paths for r in TFRecordReader(p)
+        )
+        cfg = MmtPretrainDataConfig(
+            **data_kwargs(vocab, input_path=",".join(paths), tasks="mlm",
+                          is_training=False, global_batch_size=4,
+                          mlm_max_selections_per_seq=8,
+                          mpp_max_selections_per_seq=4)
+        )
+        loader = MmtPretrainLoader(cfg)
+        per_shard = [
+            [bytes(r) for r in loader._record_iter(
+                cfg.input_path, s, num_shards, cfg.seed, repeat=False)]
+            for s in range(num_shards)
+        ]
+        union = sorted(r for recs in per_shard for r in recs)
+        assert union == all_recs  # disjoint AND complete
+
 
 class TestMultiprocessLoader:
     def test_parallel_matches_shard_union(self, tmp_path):

@@ -41,6 +41,8 @@ TEXTS = [
     "   ",                                       # only spaces
     "the\x00red\x1fdress",                       # control chars dropped
     "[MASK]s",                                   # bracket token glued: split
+    "[UNUSED99] photo",                          # case-variant preserve: the
+    "[Att] red [ReF]",                           # post-lowercase re-check
 ]
 
 

@@ -5,6 +5,7 @@ the module, so the test reconstructs it bit-for-bit on the host)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmt_tpu.ops import pallas_attention as pa
 from mmt_tpu.ops.pallas_attention import RelGeometry, pallas_relative_attention
@@ -70,6 +71,17 @@ def test_rate_zero_is_identity():
         interpret=True, dropout_rate=0.0, dropout_seed=jnp.int32(7),
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_missing_seed_raises():
+    # A silently-defaulted seed would repeat the identical mask every
+    # step; the API must refuse instead.
+    q, k, v, table, lengths = _setup()
+    with pytest.raises(ValueError, match="dropout_seed"):
+        pallas_relative_attention(
+            q, k, v, table, GEO, lengths, block_q=BLOCK, block_k=BLOCK,
+            interpret=True, dropout_rate=RATE,
+        )
 
 
 def test_forward_matches_masked_dense():
