@@ -83,11 +83,21 @@ class ExampleAssembler:
     # ------------------------------------------------------------- image
 
     def decode_image(self, image_bytes: bytes) -> np.ndarray:
-        """JPEG/PNG bytes -> float32 [H, W, 3] in [0, 1]."""
-        from PIL import Image
+        """JPEG/PNG bytes -> float32 [H, W, 3] in [0, 1].
 
-        im = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-        return np.asarray(im, dtype=np.float32) / 255.0
+        JPEG goes through the native libjpeg-turbo decoder when built
+        (byte-parity with PIL pinned in tests/test_native_image.py);
+        PNG and anything the native decoder declines fall back to PIL.
+        """
+        from mmt_tpu.data import native
+
+        rgb = native.decode_jpeg(image_bytes)
+        if rgb is None:
+            from PIL import Image
+
+            im = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+            rgb = np.asarray(im)
+        return rgb.astype(np.float32) / 255.0
 
     def resize(self, image: np.ndarray) -> np.ndarray:
         """Bilinear resize to (image_size, image_size) matching

@@ -66,12 +66,56 @@ def _load(build_if_missing: bool = True):
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_char_p,
                 out_t, ctypes.c_int64,
             ]
+    if hasattr(lib, "mmt_jpeg_decode"):  # older .so builds lack it
+        lib.mmt_jpeg_probe.restype = ctypes.c_int64
+        lib.mmt_jpeg_probe.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mmt_jpeg_decode.restype = ctypes.c_int64
+        lib.mmt_jpeg_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def jpeg_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mmt_jpeg_decode")
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """JPEG bytes -> uint8 [H, W, 3] RGB via libjpeg-turbo.
+
+    Returns None when the payload isn't a JPEG this decoder handles
+    (PNG, CMYK/YCCK, truncated stream): the caller falls back to PIL.
+    Native equivalent of the reference's in-graph tf.io.decode_image
+    (src/data/data_utils.py:185-206); byte-parity with PIL is pinned by
+    tests/test_native_image.py.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "mmt_jpeg_decode"):
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    if lib.mmt_jpeg_probe(buf, len(data), ctypes.byref(w), ctypes.byref(h)) < 0:
+        return None
+    out = np.empty((int(h.value), int(w.value), 3), np.uint8)
+    n = lib.mmt_jpeg_decode(
+        buf, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size, ctypes.byref(w), ctypes.byref(h),
+    )
+    if n != out.size:
+        return None
+    return out
 
 
 def iter_records(path: str, check_crc: bool = False) -> Iterator[bytes]:
