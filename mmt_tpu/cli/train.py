@@ -35,6 +35,14 @@ def parse_args(argv=None):
     p.add_argument("--config_file", action="append", default=[])
     p.add_argument("--params_override", default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--lenient_warm_start", action="store_true",
+        help="Allow a partially-matching TF init_checkpoint (reference "
+             "expect_partial semantics).  Off by default: a typo'd or "
+             "mismatched checkpoint would otherwise silently train from "
+             "fresh inits (the reference predict path asserts all "
+             "objects matched, src/prediction_helper.py:192-195).",
+    )
     return p.parse_args(argv)
 
 
@@ -50,7 +58,7 @@ def build_experiment_config(args):
     return cfg
 
 
-def warm_start(path: str, params):
+def warm_start(path: str, params, strict: bool = True):
     """Warm start from an init checkpoint, auto-detecting its kind.
 
     * Orbax directory (ours): full params restore.
@@ -95,7 +103,7 @@ def warm_start(path: str, params):
     tf_vars = load_tf_checkpoint(tf_path)
     has_text = any("word_embedding" in k for k in tf_vars)
     if has_text:
-        params = convert_tf_checkpoint(tf_vars, params, strict=False)
+        params = convert_tf_checkpoint(tf_vars, params, strict=strict)
         logging.info("warm-started from TF MMT checkpoint %s", tf_path)
     else:
         params = convert_vit_checkpoint(tf_vars, params)
@@ -280,7 +288,10 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     params = task.init(rng, jax.tree.map(lambda x: x, first))
     if cfg.task.init_checkpoint:
-        params = warm_start(cfg.task.init_checkpoint, params)
+        params = warm_start(
+            cfg.task.init_checkpoint, params,
+            strict=not args.lenient_warm_start,
+        )
 
     tx = create_optimizer(cfg.trainer.optimizer_config, cfg.trainer.train_steps)
     state = TrainState.create(params, tx)

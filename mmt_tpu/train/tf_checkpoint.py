@@ -96,6 +96,81 @@ ETCMODEL_RULES: List[Tuple[str, str]] = [
 ]
 
 
+# Inverse of the pinned rules: our canonical flat path -> the reference
+# TF object path (one canonical spelling per rule).  Used by
+# ``export_tf_layout`` so a JAX->TF-layout->JAX round trip can pin the
+# converter's full-tree coverage (tests/test_tf_checkpoint.py), and so
+# users can emit reference-shaped variable dicts for external
+# comparison against etcmodel checkpoints.
+EXPORT_RULES: List[Tuple[str, str]] = [
+    (r"encoder/word_embeddings/embedding_table",
+     "encoder/_word_embedding_layer/embedding_table"),
+    (r"encoder/word_embeddings/embedding_projection/(kernel|bias)",
+     r"encoder/_word_embedding_layer/embedding_projection/\1"),
+    (r"encoder/segment_embeddings/embedding_table",
+     "encoder/_segment_embedding_layer/embedding_table"),
+    (r"encoder/absolute_position_embeddings",
+     "encoder/_position_embedding_layer/embeddings"),
+    (r"encoder/patch_embedding_projection/(kernel|bias)",
+     r"encoder/_patch_embedding_projection/\1"),
+    (r"encoder/embeddings_layer_norm/scale",
+     "encoder/_embedding_norm_layer/gamma"),
+    (r"encoder/embeddings_layer_norm/bias",
+     "encoder/_embedding_norm_layer/beta"),
+    (r"encoder/pooler_transform/(kernel|bias)",
+     r"encoder/_pooler_layer/\1"),
+    (r"encoder/transformer/layer_(\d+)/attention/(query|key|value|output)"
+     r"/(kernel|bias)",
+     r"encoder/_transformer_layers/attention_layers/\1/\2_projection/\3"),
+    (r"encoder/transformer/layer_(\d+)/attention/relative_emb_table",
+     r"encoder/_transformer_layers/attention_layers/\1/relative_emb_table"),
+    (r"encoder/transformer/layer_(\d+)/attention_layer_norm/scale",
+     r"encoder/_transformer_layers/attention_norm_layers/\1/gamma"),
+    (r"encoder/transformer/layer_(\d+)/attention_layer_norm/bias",
+     r"encoder/_transformer_layers/attention_norm_layers/\1/beta"),
+    (r"encoder/transformer/layer_(\d+)/ffn_layer_norm/scale",
+     r"encoder/_transformer_layers/feed_forward_norm_layers/\1/gamma"),
+    (r"encoder/transformer/layer_(\d+)/ffn_layer_norm/bias",
+     r"encoder/_transformer_layers/feed_forward_norm_layers/\1/beta"),
+    (r"encoder/transformer/layer_(\d+)/intermediate/(kernel|bias)",
+     r"encoder/_transformer_layers/feed_forward_layers/\1/intermediate/\2"),
+    (r"encoder/transformer/layer_(\d+)/ffn_output/(kernel|bias)",
+     r"encoder/_transformer_layers/feed_forward_layers/\1/output/\2"),
+]
+
+
+def export_tf_layout(params) -> Dict[str, np.ndarray]:
+    """JAX param tree -> {reference TF object path: array}.
+
+    Kernels that this framework keeps factored by head
+    ([hidden, heads, head_dim] etc.) are flattened to the reference's
+    2-D layouts, mirroring what ``convert_tf_checkpoint`` reshapes back.
+    Paths without a pinned rule keep their canonical spelling (the
+    converter's unique suffix+shape pass recovers them).
+    """
+    flat = _flatten(params)
+    out: Dict[str, np.ndarray] = {}
+    for tpath, val in flat.items():
+        s = "/".join(tpath)
+        name = s
+        for pat, tmpl in EXPORT_RULES:
+            m = re.fullmatch(pat, s)
+            if m:
+                name = m.expand(tmpl)
+                break
+        arr = np.asarray(val)
+        if re.search(r"(query|key|value)_projection/kernel$", name):
+            arr = arr.reshape(arr.shape[0], -1)  # [H, heads, dh] -> [H, H]
+        elif re.search(r"(query|key|value)_projection/bias$", name):
+            arr = arr.reshape(-1)
+        elif name.endswith("output_projection/kernel") and arr.ndim == 3:
+            arr = arr.reshape(-1, arr.shape[-1])  # [heads, dh, H] -> [H, H]
+        elif name.endswith("relative_emb_table") and arr.ndim == 3:
+            arr = arr.reshape(arr.shape[0], -1)  # [V, heads, dh] -> [V, H]
+        out[name] = arr
+    return out
+
+
 def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Reads every variable from a TF checkpoint into {normalized_path: array}."""
     import tensorflow as tf

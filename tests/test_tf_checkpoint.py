@@ -97,3 +97,69 @@ def test_strict_raises_on_missing():
 
     with pytest.raises(ValueError, match="unmatched"):
         convert_tf_checkpoint({}, _target(), strict=True)
+
+
+def test_tf_layout_round_trip_identity():
+    # JAX -> TF-layout -> JAX must reproduce EVERY leaf bit-exactly with
+    # strict=True: pins that the converter's rules + suffix matching
+    # cover the full classification param tree (the residual-risk oracle
+    # substitute from docs/RISKS.md; real etcmodel ckpts are
+    # uninstallable here).
+    import flax
+
+    from mmt_tpu.train.tf_checkpoint import (
+        convert_tf_checkpoint,
+        export_tf_layout,
+    )
+
+    target = _target()
+    exported = export_tf_layout(target)
+    # TF layouts: q/k/v kernels flattened to 2-D like the reference.
+    qk = exported[
+        "encoder/_transformer_layers/attention_layers/0/query_projection/kernel"
+    ]
+    assert qk.ndim == 2
+
+    # Fresh-init template with different values: every leaf must come
+    # from the exported dict, not survive from the template.
+    template = jax.tree.map(lambda x: x * 0 - 1.0, target)
+    restored = convert_tf_checkpoint(exported, template, strict=True)
+
+    want = flax.traverse_util.flatten_dict(target["params"])
+    got = flax.traverse_util.flatten_dict(restored["params"])
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg="/".join(k))
+
+
+def test_pretrain_tf_layout_round_trip_identity():
+    # Same round trip over the PRETRAIN model (MLM/MPP heads included).
+    import flax
+
+    from mmt_tpu.configs import PretrainModelConfig
+    from mmt_tpu.models import MmtPretrainingModel
+    from mmt_tpu.train.tf_checkpoint import (
+        convert_tf_checkpoint,
+        export_tf_layout,
+    )
+
+    cfg = PretrainModelConfig(
+        encoder=EncoderConfig(mmt=tiny_encoder_config()),
+        cls_heads=[ClsHeadConfig(inner_dim=32, num_classes=2, name="itm")],
+    )
+    model = MmtPretrainingModel(cfg, num_patch_per_row=2)
+    inputs = dict(
+        word_ids=jnp.zeros((1, 8), jnp.int32),
+        patch_embeddings=jnp.zeros((1, 4, 12), jnp.float32),
+        lengths=jnp.full((1,), 8, jnp.int32),
+        mlm_positions=jnp.zeros((1, 2), jnp.int32),
+        mpp_positions=jnp.zeros((1, 2), jnp.int32),
+    )
+    target = model.init(jax.random.PRNGKey(0), **inputs)
+    exported = export_tf_layout(target)
+    template = jax.tree.map(lambda x: x * 0 - 1.0, target)
+    restored = convert_tf_checkpoint(exported, template, strict=True)
+    want = flax.traverse_util.flatten_dict(target["params"])
+    got = flax.traverse_util.flatten_dict(restored["params"])
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg="/".join(k))
