@@ -97,7 +97,9 @@ class ExampleAssembler:
 
             im = Image.open(io.BytesIO(image_bytes)).convert("RGB")
             rgb = np.asarray(im)
-        return rgb.astype(np.float32) / 255.0
+        # One-pass uint8 -> [0, 1] float32 (identical rounding to
+        # astype-then-divide, without the intermediate copy).
+        return np.true_divide(rgb, 255, dtype=np.float32)
 
     def resize(self, image: np.ndarray) -> np.ndarray:
         """Bilinear resize to (image_size, image_size) matching
@@ -124,6 +126,21 @@ class ExampleAssembler:
         im = self.decode_image(image_bytes)
         if rand_aug_fn is not None:
             im = rand_aug_fn(im)
+        p = self.config.patch_size
+        size = self.config.image_size
+        if im.shape[0] == size and im.shape[1] == size:
+            # No resize needed: per-pixel normalization commutes exactly
+            # with flip/patch rearrangement, so extract once and
+            # normalize the patch view -- one big copy instead of three
+            # (hot host-pipeline path; values bit-identical).
+            raw = im[:, ::-1] if flip else im
+            raw_p = extract_patches(raw, p).astype(np.float32, copy=False)
+            chan = raw_p.reshape(raw_p.shape[0], p * p, im.shape[2])
+            norm_p = normalize_image(chan).reshape(raw_p.shape)
+            return {
+                "patch_embeddings": norm_p,
+                "unnormalized_patch_embeddings": raw_p,
+            }
         # Faithful order: normalize (by MEAN) THEN resize; raw copy resized
         # separately (src/data/data_utils.py:204-207).
         norm = self.resize(normalize_image(im))
@@ -131,7 +148,6 @@ class ExampleAssembler:
         if flip:
             norm = norm[:, ::-1]
             raw = raw[:, ::-1]
-        p = self.config.patch_size
         return {
             "patch_embeddings": extract_patches(norm, p).astype(np.float32),
             "unnormalized_patch_embeddings": extract_patches(raw, p).astype(np.float32),

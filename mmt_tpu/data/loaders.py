@@ -212,7 +212,7 @@ class MmtPretrainLoader(_BaseLoader):
         n = cfg.num_patches
 
         # MPP over [CLS] [PATCH] p1..pN (only patches selectable).
-        patch_items = [np.array([t], np.int32) for t in ex.patch_token_ids]
+        patch_items = np.asarray(ex.patch_token_ids, np.int32)  # 1 token/item
         selectable = np.zeros((len(patch_items),), bool)
         selectable[2:] = True
         mpp = mask_items(patch_items, self.mpp_spec, rng, selectable)

@@ -89,9 +89,18 @@ def mask_items(
         selectable = np.ones((num_items,), dtype=bool)
     selectable = np.asarray(selectable, dtype=bool)
 
-    item_lengths = np.array([len(it) for it in items], dtype=np.int64)
-    item_offsets = np.concatenate([[0], np.cumsum(item_lengths)[:-1]])
-    flat = np.concatenate(items).astype(np.int32) if num_items else np.zeros((0,), np.int32)
+    if isinstance(items, np.ndarray) and items.ndim == 1:
+        # Fast path: every item is a single token (the MPP patch case;
+        # 198 one-element arrays per example otherwise dominate host
+        # time).  Identical rng-call order to the general path.
+        flat = items.astype(np.int32)
+        item_lengths = None
+        item_offsets = None
+    else:
+        item_lengths = np.array([len(it) for it in items], dtype=np.int64)
+        item_offsets = np.concatenate([[0], np.cumsum(item_lengths)[:-1]])
+        flat = (np.concatenate(items).astype(np.int32)
+                if num_items else np.zeros((0,), np.int32))
 
     candidate_idx = np.nonzero(selectable)[0]
     num_to_select = min(
@@ -103,28 +112,40 @@ def mask_items(
     else:
         chosen_items = np.zeros((0,), dtype=np.int64)
 
-    positions: List[int] = []
-    labels: List[int] = []
     out = flat.copy()
-    for it in chosen_items:
-        for j in range(item_lengths[it]):
-            pos = int(item_offsets[it] + j)
-            positions.append(pos)
-            labels.append(int(flat[pos]))
+    if item_lengths is None:
+        positions_arr = chosen_items.astype(np.int32)
+        labels_arr = flat[chosen_items].astype(np.int32)
+        for pos in chosen_items:
             u = rng.random()
             if u < spec.mask_prob:
                 out[pos] = spec.mask_token_id
             elif u < spec.mask_prob + spec.random_prob:
                 out[pos] = int(rng.integers(0, spec.vocab_size))
             # else: keep original token.
-
-    positions_arr = np.asarray(positions, dtype=np.int32)
-    labels_arr = np.asarray(labels, dtype=np.int32)
+    else:
+        positions: List[int] = []
+        labels: List[int] = []
+        for it in chosen_items:
+            for j in range(item_lengths[it]):
+                pos = int(item_offsets[it] + j)
+                positions.append(pos)
+                labels.append(int(flat[pos]))
+                u = rng.random()
+                if u < spec.mask_prob:
+                    out[pos] = spec.mask_token_id
+                elif u < spec.mask_prob + spec.random_prob:
+                    out[pos] = int(rng.integers(0, spec.vocab_size))
+                # else: keep original token.
+        positions_arr = np.asarray(positions, dtype=np.int32)
+        labels_arr = np.asarray(labels, dtype=np.int32)
 
     # Faithful label-weight quirk: count only literal mask tokens in the
     # masked sequence (src/data/data_utils.py:483-504).
     num_literal_masks = int(np.sum(out == spec.mask_token_id))
-    weights = (np.arange(len(positions)) < num_literal_masks).astype(np.float32)
+    weights = (
+        np.arange(len(positions_arr)) < num_literal_masks
+    ).astype(np.float32)
 
     return MaskedResult(
         token_ids=out,

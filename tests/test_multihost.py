@@ -125,6 +125,78 @@ def test_two_process_training(tmp_path):
     assert os.path.isdir(os.path.join(model_dir, "3"))
 
 
+_TP_SCRIPT = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, model_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+nproc = int(sys.argv[5])
+if nproc > 1:
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:" + port, num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+assert jax.device_count() == 8, jax.devices()
+
+from mmt_tpu.cli.train import main
+main([
+    "--experiment=mmt/pretraining",
+    "--mode=train",
+    "--model_dir=" + model_dir,
+    "--params_override=" + sys.argv[4],
+])
+print("PROC_OK", pid)
+"""
+
+
+def test_four_process_cross_process_model_axis(tmp_path):
+    """4 processes x 2 local devices; mesh ('data'=2, 'model'=4): the
+    model axis SPANS process boundaries (each process holds 2 of the 8
+    devices, a model-axis row covers 2 processes) -- the layout a real
+    v5e pod slice uses.  Losses must equal the single-process 8-device
+    run bit-for-bit (same dummy data, same seed, same mesh shape).
+    Matches src/distribute_utils.py:191-224 (multi-worker cluster)."""
+    override = yaml.safe_dump({
+        **_OVERRIDE,
+        "runtime": {"num_data_parallel": 2, "num_model_parallel": 4},
+    })
+
+    def run(nproc, model_dir, local_devices):
+        port = str(_free_port())
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=(
+                f"--xla_force_host_platform_device_count={local_devices}"
+            ),
+            PYTHONPATH=_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _TP_SCRIPT, str(i), port, model_dir,
+                 override, str(nproc)],
+                env=env, cwd=_ROOT,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(nproc)
+        ]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {i}/{nproc} failed:\n{out}"
+        with open(os.path.join(model_dir, "train_summaries.jsonl")) as f:
+            return [json.loads(line) for line in f]
+
+    rows_mp = run(4, str(tmp_path / "mp"), local_devices=2)
+    rows_sp = run(1, str(tmp_path / "sp"), local_devices=8)
+
+    assert [r["step"] for r in rows_mp] == [1, 2, 3]
+    assert [r["step"] for r in rows_sp] == [1, 2, 3]
+    for a, b in zip(rows_mp, rows_sp):
+        assert math.isfinite(a["total_loss"])
+        assert a["total_loss"] == b["total_loss"], (a, b)
+
+
 _CLS_SCRIPT = r"""
 import sys
 import jax
