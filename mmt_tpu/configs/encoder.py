@@ -65,8 +65,36 @@ class EncoderConfig(Config):
 
     type: str = "mmt"
     mmt: MmtEncoderConfig = dataclasses.field(default_factory=MmtEncoderConfig)
+    # Dotted import path ("pkg.mod.Class" or "pkg.mod:Class") of a custom
+    # encoder flax Module -- the analog of the reference's gin-injectable
+    # ``encoder_cls`` bypass (``src/configs/encoders.py:112-158``).  When
+    # set, ``build_encoder`` instantiates it as
+    # ``cls(config=<MmtEncoderConfig>, num_patch_per_row=..., name=...)``
+    # instead of ``MmtEncoder``; the class must accept that signature and
+    # return the encoder output dict (``sequence_output`` [+
+    # ``pooled_output``]).  Configured through the ordinary yaml /
+    # params_override surface, so no separate gin mechanism is needed.
+    encoder_cls: str = ""
 
     def get(self) -> MmtEncoderConfig:
         if self.type != "mmt":
             raise ValueError(f"Only 'mmt' encoders are supported, got {self.type!r}.")
         return self.mmt
+
+
+def build_encoder(config: EncoderConfig, num_patch_per_row: int,
+                  name: str = "encoder"):
+    """Encoder factory with the ``encoder_cls`` injection point
+    (parity surface: ``src/configs/encoders.py:112-158``)."""
+    from mmt_tpu.models.encoder import MmtEncoder  # deferred: avoids cycle
+
+    if config.encoder_cls:
+        import importlib
+
+        path = config.encoder_cls.replace(":", ".")
+        module_name, cls_name = path.rsplit(".", 1)
+        cls = getattr(importlib.import_module(module_name), cls_name)
+        return cls(config=config.get(), num_patch_per_row=num_patch_per_row,
+                   name=name)
+    return MmtEncoder(config.get(), num_patch_per_row=num_patch_per_row,
+                      name=name)

@@ -24,8 +24,10 @@ class MmtClassificationModel(nn.Module):
         names = [h.name for h in cfg.cls_heads]
         if len(set(names)) != len(names):
             raise ValueError("Classification heads should have unique names.")
-        self.encoder = MmtEncoder(
-            encoder_cfg, num_patch_per_row=self.num_patch_per_row, name="encoder"
+        from mmt_tpu.configs.encoder import build_encoder
+
+        self.encoder = build_encoder(
+            cfg.encoder, num_patch_per_row=self.num_patch_per_row, name="encoder"
         )
         self.cls_heads = [
             ClassificationHead(

@@ -31,8 +31,10 @@ class MmtPretrainingModel(nn.Module):
         if len(set(names)) != len(names):
             raise ValueError("Classification heads should have unique names.")
 
-        self.encoder = MmtEncoder(
-            encoder_cfg, num_patch_per_row=self.num_patch_per_row, name="encoder"
+        from mmt_tpu.configs.encoder import build_encoder
+
+        self.encoder = build_encoder(
+            cfg.encoder, num_patch_per_row=self.num_patch_per_row, name="encoder"
         )
         emb_size = encoder_cfg.embedding_size or encoder_cfg.hidden_size
         if not cfg.bind_word_embedding_table:

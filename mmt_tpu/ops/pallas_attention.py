@@ -249,6 +249,93 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
     left = jmi < -dtd - delta
     rl = right | left
     fast = shape[1] >= 2 * dtd + 1
+    mul2 = fast and os.environ.get("MMT_ATTN_BIAS", "mul2") == "mul2"
+
+    if mul2:
+        # Multiply-form chain: a [bq, bk] select costs ~5x a multiply on
+        # this compiler and the ev lane-broadcast select was the single
+        # most expensive bias op, so decompose the text bias as
+        #   left_clip  (everywhere text x text; rank-1 broadcast-mul)
+        # + (band - left_clip) * band_mask   (skew-rolled strip, pre-
+        #                                     subtracted so it's a pure
+        #                                     correction; the mask also
+        #                                     kills the roll wrap)
+        # + (right_clip - left_clip) * right_mask.
+        # All i1->f32 mask converts are tile-level and shared by every
+        # packed head; per-head work is 3 multiplies + 2 adds.
+        f32 = jnp.float32
+        band = jnp.logical_not(rl)
+        if img_len:
+            ti = ii >= img_len - q_base
+            tj = jj >= img_len - k_base
+            ti_col = (
+                jax.lax.broadcasted_iota(jnp.int32, (shape[0], 1), 0)
+                >= img_len - q_base
+            ).astype(f32)
+            tj_row = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
+                >= img_len - k_base
+            ).astype(f32)
+            band_tt = (band & ti & tj).astype(f32)
+            right_tt = (right & ti & tj).astype(f32)
+        else:
+            ti_col = jnp.ones((shape[0], 1), f32)
+            tj_row = jnp.ones((1, shape[1]), f32)
+            band_tt = band.astype(f32)
+            right_tt = right.astype(f32)
+        biases = []
+        shift = (-(dtd + jnp.asarray(delta, jnp.int32))) % shape[1]
+        for qr in qrs:
+            qr_l = qr[:, 2 * dtd]  # left-clip value, [bq]
+            qrd = qr[:, dtd] - qr_l  # right-clip minus left-clip, [bq]
+            strip = qr[:, rel_vocab:rel_vocab + 2 * dtd + 1] - qr_l[:, None]
+            padded = jnp.pad(
+                strip, ((0, 0), (0, shape[1] - strip.shape[1]))
+            )
+            rolled = pltpu.roll(padded, shift, 1, stride=1, stride_axis=0)
+            base = (qr_l[:, None] * ti_col) * tj_row
+            biases.append(
+                base + rolled * band_tt + qrd[:, None] * right_tt
+            )
+        if img_len and (
+            geo.text_part_id < rel_vocab or geo.image_part_id < rel_vocab
+        ):
+            # In-vocab part ids: two more rank-1 broadcast-mul terms
+            # (cross = where(ti, image_part, text_part), one-hot form).
+            out = []
+            for qr, bias in zip(qrs, biases):
+                if geo.image_part_id < rel_vocab:
+                    bias = bias + (
+                        qr[:, geo.image_part_id][:, None] * ti_col
+                    ) * (1.0 - tj_row)
+                if geo.text_part_id < rel_vocab:
+                    bias = bias + (
+                        qr[:, geo.text_part_id][:, None] * (1.0 - ti_col)
+                    ) * tj_row
+                out.append(bias)
+            biases = out
+
+        def image_bias_mul2(biases):
+            i_pos = q_base + ii
+            j_pos = k_base + jj
+            ids2d = _image_ids_2d(i_pos, j_pos, geo)
+            imask = jnp.logical_not(ti | tj) if img_len else None
+            out = []
+            for qr, bias in zip(qrs, biases):
+                add = jnp.zeros_like(bias)
+                for vid in range(min(geo.num_image_ids, rel_vocab)):
+                    add = add + jnp.where(
+                        ids2d == vid, qr[:, vid][:, None], 0.0
+                    )
+                out.append(bias + jnp.where(imask, add, 0.0))
+            return tuple(out)
+
+        if img_len:
+            biases = list(jax.lax.cond(
+                meta_ref[2, t] == 1, image_bias_mul2,
+                lambda bs: tuple(bs), tuple(biases),
+            ))
+        return biases
 
     biases = []
     for qr in qrs:
@@ -376,13 +463,50 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
             for ds_t in ds_ts
         ]
 
+        bk = dss[0].shape[1]
+        mxu_dsv = (
+            bk >= 2 * dtd + 1
+            and os.environ.get("MMT_ATTN_DSV", "mxu") == "mxu"
+        )
+
         def band_dsv(dsvs):
-            out = list(dsvs)
-            for off_val in range(-dtd, dtd + 1):
-                vid = _clip_vid(off_val, dtd)
-                mf = (offs == off_val).astype(dtype)
-                for hh, ds_t in enumerate(ds_ts):
-                    out[hh] = out[hh] + col(vid, jnp.sum(ds_t * mf, axis=1))
+            if not mxu_dsv:
+                out = list(dsvs)
+                for off_val in range(-dtd, dtd + 1):
+                    vid = _clip_vid(off_val, dtd)
+                    mf = (offs == off_val).astype(dtype)
+                    for hh, ds_t in enumerate(ds_ts):
+                        out[hh] = out[hh] + col(vid, jnp.sum(ds_t * mf, axis=1))
+                return tuple(out)
+            # MXU form: dsv[i, vid(o)] = sum_j ds[i, j][j - i + delta == o]
+            # is a per-row diagonal gather -- the INVERSE of the forward
+            # skew.  Deskew with one strided roll (stride bk-1 == -1 mod
+            # bk, positive operands only: the negative-stride primitive
+            # is rejected by the remote compiler) so band offset o lands
+            # in column o + dtd, then scatter columns [0, 2*dtd] into
+            # their vid lanes with ONE constant 0/1 MXU contraction --
+            # replacing 25 per-offset convert/mul/rowsum/lane-scatter
+            # passes per tile.
+            bandf = ((offs >= -dtd) & (offs <= dtd)).astype(dtype)
+            shift = (dtd + jnp.asarray(k_base - q_base, jnp.int32)) % bk
+            rr = jax.lax.broadcasted_iota(jnp.int32, (bk, v_pad), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (bk, v_pad), 1)
+            # row r (band column o = r - dtd) -> lane vid(o): o for o >= 0
+            # else dtd - o.  The select runs on int32 operands -- a
+            # where() over booleans emits an i8->i1 trunci the remote
+            # Mosaic compiler rejects ("Unsupported target bitwidth
+            # for truncation").
+            vid_of_r = jnp.where(rr >= dtd, rr - dtd, 2 * dtd - rr)
+            pmat = ((rr <= 2 * dtd) & (cc == vid_of_r)).astype(dtype)
+            out = []
+            for dsv, ds_t in zip(dsvs, ds_ts):
+                deskew = pltpu.roll(
+                    ds_t * bandf, shift, 1, stride=bk - 1, stride_axis=0
+                )
+                out.append(dsv + jax.lax.dot_general(
+                    deskew, pmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
             return tuple(out)
 
         dsvs = jax.lax.cond(
@@ -487,10 +611,13 @@ def _split_tile_lists(meta: np.ndarray, nq: int, nk: int):
 
     Returns two int32 arrays [T+1, 3] of (qi, ki, flag) rows sorted by
     qi: ``far`` holds kind-0/1 tiles (flag 0 = right clip, 1 = left
-    clip) with a flag-2 sentinel row for any qi that has no far tile
-    (so its output block still gets initialized and finalized), and
-    ``struct`` holds kind-2 tiles.  The extra guard row (-1, 0, 2) lets
-    the kernel read tmeta[t + 1] unconditionally."""
+    clip) and ``struct`` holds kind-2 tiles.  BOTH lists get a flag-2
+    sentinel row for any qi with no tiles of their kind, so every
+    output block is initialized and finalized (a qi row that is all-far
+    -- possible in 1D text-only geometry -- would otherwise leave the
+    structured pass's o/lse blocks unwritten and feed garbage into the
+    logsumexp combine).  The extra guard row (-1, 0, 2) lets the kernel
+    read tmeta[t + 1] unconditionally."""
     far, struct = [], []
     kind = meta[3]
     for qi in range(nq):
@@ -499,9 +626,10 @@ def _split_tile_lists(meta: np.ndarray, nq: int, nk: int):
             for ki in range(nk) if kind[qi * nk + ki] != 2
         ]
         far.extend(row_far if row_far else [(qi, 0, 2)])
-        struct.extend(
+        row_struct = [
             (qi, ki, 0) for ki in range(nk) if kind[qi * nk + ki] == 2
-        )
+        ]
+        struct.extend(row_struct if row_struct else [(qi, 0, 2)])
     guard = (-1, 0, 2)
     return (np.asarray(far + [guard], np.int32).T.copy(),
             np.asarray(struct + [guard], np.int32).T.copy())
@@ -631,14 +759,70 @@ def _fwd_list_kernel(
 
 
 def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
-                   block_q, block_k, nq, nk, hb, interpret, dropout_rate=0.0):
-    """Two list-driven passes (far / structured) + logsumexp combine."""
+                   block_q, block_k, nq, nk, hb, interpret, dropout_rate=0.0,
+                   far_mode="rect"):
+    """Split schedule: far pass + structured list pass + logsumexp combine.
+
+    far_mode 'rect' (default) runs the far tiles on the RECTANGULAR
+    grid with an in-kernel kind-skip -- the list-driven grid costs a
+    measured ~20% more per tile, and far tiles are the majority
+    (48% at 4k, 77%+ at 8k), so they ride the cheap grid while only the
+    structured minority pays the list overhead.  'list' is the legacy
+    two-list schedule (kept for A/B measurement)."""
     batch, seq_len, num_heads, head_dim = q.shape
     far_list, struct_list = _split_tile_lists(np.asarray(meta), nq, nk)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     scale = 1.0 / (head_dim**0.5)
+
+    def run_rect_far():
+        kernel = functools.partial(
+            _fwd_kernel, geo=geometry, rel_vocab=rel_vocab,
+            block_q=block_q, block_k=block_k, nk=nk, hb=hb,
+            softmax_scale=scale, dropout_rate=dropout_rate, far_only=True,
+        )
+        in_specs = [
+            pl.BlockSpec((1, hb, block_q, head_dim), _im_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, block_k, head_dim), _im_k,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, block_k, head_dim), _im_k,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, rel_h.shape[1], head_dim),
+                         lambda b, h, qi, ki, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_heads // hb, nq, nk),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, hb, block_q, head_dim), _im_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hb, block_q, 1),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hb, block_q, 128), jnp.float32),
+                pltpu.VMEM((hb, block_q, 128), jnp.float32),
+                pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(qt.shape, jnp.float32),
+                jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1),
+                                     jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lengths.astype(jnp.int32), qoff, jnp.asarray(meta), qt, kt, vt,
+          rel_h)
 
     def im_q(b, h, t, lens, qoff_, meta_, tm):
         return (b, h, tm[0, t], 0)
@@ -694,7 +878,10 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
         )(lengths.astype(jnp.int32), qoff, jnp.asarray(meta),
           jnp.asarray(tlist), qt, kt, vt, rel_h)
 
-    o_f, lse_f = run(far_list, far=True)
+    if far_mode == "rect":
+        o_f, lse_f = run_rect_far()
+    else:
+        o_f, lse_f = run(far_list, far=True)
     o_s, lse_s = run(struct_list, far=False)
     lse = jnp.logaddexp(lse_f, lse_s)
     # Fully-padded rows have zero live tiles in BOTH passes: clamp the
@@ -707,7 +894,7 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
 def _fwd_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0,
+    dropout_rate=0.0, far_only=False,
 ):
     if rel_vocab:
         rel_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
@@ -731,7 +918,17 @@ def _fwd_kernel(
     k_base = qoff_ref[1] + ki * block_k
     length = lengths_ref[b]
 
-    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
+    run = _tile_contributes(q_base, k_base, length, block_q, block_k)
+    if far_only:
+        # Rect-grid far pass of the split schedule: only the far
+        # all-text tiles run here (the structured tiles are handled by
+        # the list-driven pass and the partials combined by logsumexp).
+        # Their single clip bias rides the flash row statistics as a
+        # [bq] vector -- zero per-element bias work, no list-grid
+        # overhead (measured ~20%/tile) on the majority tile class.
+        run = run & (meta_ref[3, t] != 2)
+
+    @pl.when(run)
     def _body():
         qs = [q_ref[0, hh] for hh in range(hb)]
         ss = [
@@ -743,6 +940,7 @@ def _fwd_kernel(
         ]
         shape = ss[0].shape
 
+        avs = [None] * hb
         if rel_vocab:
             qrs = [
                 jax.lax.dot_general(
@@ -751,11 +949,19 @@ def _fwd_kernel(
                 )
                 for hh, q in enumerate(qs)
             ]
-            biases = _tile_bias_multi(
-                qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
-                block_q, block_k,
-            )
-            ss = [s + bias for s, bias in zip(ss, biases)]
+            dtd = geo.text_max_distance
+            if far_only:
+                avs = [
+                    jnp.where(meta_ref[3, t] == 0, qr[:, dtd], qr[:, 2 * dtd])
+                    * softmax_scale
+                    for qr in qrs
+                ]
+            else:
+                biases = _tile_bias_multi(
+                    qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
+                    block_q, block_k,
+                )
+                ss = [s + bias for s, bias in zip(ss, biases)]
 
         ss = [s * softmax_scale for s in ss]
 
@@ -774,9 +980,12 @@ def _fwd_kernel(
             m_prev = m_scratch[hh, :, 0]
             l_prev = l_scratch[hh, :, 0]
             m_cur = jnp.max(s, axis=1)
+            if avs[hh] is not None:
+                m_cur = m_cur + avs[hh]
             m_next = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, None])
+            ofs = m_next - avs[hh] if avs[hh] is not None else m_next
+            p = jnp.exp(s - ofs[:, None])
             l_next = l_prev * alpha + jnp.sum(p, axis=1)
 
             m_scratch[hh] = jnp.broadcast_to(m_next[:, None], m_scratch.shape[1:])
@@ -911,6 +1120,15 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
                 q, k, v, lengths, qoff3, rel_h, meta_np, geometry, rel_vocab,
                 block_q, block_k, nq, nk, hb, interpret,
                 dropout_rate=dropout_rate,
+                # Measured on v5e at 4k (48% far): single 17.46 /
+                # list-split 17.98 / rect-split 19.61 ms/layer; at 8k
+                # (77% far): single 21.37 / list-split 20.87.  The rect
+                # far pass loses everywhere: pl.when-skipped tiles still
+                # pay their fetch/pipeline slot, while the list grid
+                # never visits them.  So: auto-engage at >=60% far
+                # (unchanged), list mode by default, rect kept as an
+                # experiment flag.
+                far_mode=os.environ.get("MMT_ATTN_SPLIT_MODE", "list"),
             )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -1472,6 +1690,15 @@ def pallas_relative_attention(
     Returns:
       <q.dtype>[B, S, num_heads, head_dim].
     """
+    if dropout_rate > 0.0 and dropout_seed is None:
+        # A silently-defaulted seed would reuse the identical dropout
+        # mask every step (and across calls) -- a hard-to-notice
+        # training-quality regression.  RelativeAttention derives a
+        # per-step seed; any direct caller must too.
+        raise ValueError(
+            "dropout_seed is required when dropout_rate > 0 "
+            "(derive a distinct int32 seed per training step)"
+        )
     seed = jnp.asarray(
         dropout_seed if dropout_seed is not None else 0, jnp.int32
     )

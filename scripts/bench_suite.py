@@ -20,11 +20,17 @@ import time
 import numpy as np
 
 
-def _measure_inference(seq_len: int, batch: int, iters: int = 8):
+def _measure_inference(seq_len: int, batch: int, iters: int = 8,
+                       min_len: int = 0, max_len: int = 0):
     import bench
 
-    fwd, args = bench.build("pallas", "bfloat16", batch, seq_len=seq_len)
-    return bench.measure(fwd, args, batch, iters=iters)
+    fwd, args = bench.build("pallas", "bfloat16", batch, seq_len=seq_len,
+                            min_len=min_len, max_len=max_len)
+    eps = bench.measure(fwd, args, batch, iters=iters)
+    flops_ex = bench.model_flops_per_example(args[-1])
+    tflops = eps * flops_ex / 1e12
+    return eps, round(tflops, 2), round(
+        100.0 * tflops * 1e12 / bench.V5E_BF16_PEAK, 2)
 
 
 def _measure_pretrain_step(seq_len: int = 256, batch: int = 64,
@@ -413,17 +419,32 @@ def main():
         run_e2e(emit)
         return
 
-    eps4k = _measure_inference(4096, 32, iters=8)
+    eps4k, tf4k, mfu4k = _measure_inference(4096, 32, iters=8)
     base = bench.cpu_baseline()
     emit({
         "metric": "fashion_gen_4k_retrieval_inference", "value": round(eps4k, 3),
         "unit": "examples/sec", "vs_baseline": round(eps4k / base, 2),
+        "achieved_tflops": tf4k, "mfu_pct_v5e_bf16": mfu4k,
     })
     for s, b in ((512, 256), (256, 512)):
-        eps = _measure_inference(s, b, iters=8)
+        eps, tfl, mfu = _measure_inference(s, b, iters=8)
         emit({
             "metric": f"retrieval_inference_s{s}", "value": round(eps, 3),
             "unit": "examples/sec",
+            "achieved_tflops": tfl, "mfu_pct_v5e_bf16": mfu,
+        })
+    # Reference predict workloads (BASELINE.md pools; prediction batch
+    # 2048 = src/scripts/predict.sh:27), S=256 shipped finetune configs.
+    # Lengths model the pools: Flickr30k captions are short (198 image
+    # tokens + ~12-28 wordpieces); WIT attribution+reference text tends
+    # to fill the 256 budget.
+    for name, lens in (("flickr30k", (210, 228)), ("wit", (215, 256))):
+        eps, tfl, mfu = _measure_inference(
+            256, 2048, iters=8, min_len=lens[0], max_len=lens[1])
+        emit({
+            "metric": f"{name}_retrieval_inference_s256_b2048",
+            "value": round(eps, 3), "unit": "examples/sec",
+            "achieved_tflops": tfl, "mfu_pct_v5e_bf16": mfu,
         })
     eps_train = _measure_pretrain_step()
     emit({

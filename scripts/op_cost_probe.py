@@ -163,6 +163,43 @@ def make(variant):
             s = s + jax.lax.dot_general(
                 q, q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        elif variant == "rank1dot":
+            # lane-broadcast via MXU: [bq,1] x [1,bk] outer product.
+            ones_row = jnp.ones((1, BK), jnp.float32)
+            s = s + jax.lax.dot_general(
+                qr[:, DTD:DTD + 1], ones_row, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        elif variant == "rank2dot":
+            # two broadcast terms in one [bq,2] x [2,bk] MXU dot.
+            rows = jnp.concatenate(
+                [jnp.ones((1, BK), jnp.float32),
+                 jnp.full((1, BK), 0.5, jnp.float32)], axis=0)
+            s = s + jax.lax.dot_general(
+                qr[:, DTD:DTD + 2], rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        elif variant == "deskew":
+            # dsv band gather: mask-mul + inverse skew roll (stride
+            # BK-1 == -1 mod BK) + one [BQ,BK]x[BK,128] f32 matmul.
+            ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            offs = jj - ii + delta
+            bandf = ((offs >= -DTD) & (offs <= DTD)).astype(jnp.float32)
+            dyn = jnp.asarray((DTD + delta) % BK, jnp.int32)
+            desk = pltpu.roll((s + qr[:, :1]) * bandf, dyn, 1,
+                              stride=BK - 1, stride_axis=0)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (BK, 128), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (BK, 128), 1)
+            vid_of_r = jnp.where(rr >= DTD, rr - DTD, 2 * DTD - rr)
+            pmat = ((rr <= 2 * DTD) & (cc == vid_of_r)).astype(jnp.float32)
+            dsv = jax.lax.dot_general(
+                desk, pmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + dsv[:, :1]
+        elif variant == "narrowroll":
+            # strided roll on a 128-lane tile (1/4 the area).
+            dyn = jnp.asarray(-(DTD + delta) % 128, jnp.int32)
+            nr = pltpu.roll(qr[:, :128], dyn, 1, stride=1, stride_axis=0)
+            s = s + nr[:, :1]
         assert s.shape == shape
         acc[...] = acc[...] + jnp.sum(s, axis=1, keepdims=True) * (1.0 + qr[:, :1])
 

@@ -285,3 +285,41 @@ class TestPallasModelPath:
             "transformer", "layer_0", "attention", "relative_emb_table",
         )
         assert float(jnp.sum(jnp.abs(flat[("encoder",) + rel_key] if ("encoder",) + rel_key in flat else flat[rel_key]))) > 0
+
+
+class TestEncoderClsInjection:
+    def test_custom_encoder_cls(self):
+        # encoder_cls bypass (reference gin injection,
+        # src/configs/encoders.py:112-158) through the ordinary config.
+        from mmt_tpu.configs import ClsHeadConfig, ClassificationModelConfig
+        from mmt_tpu.configs.encoder import EncoderConfig
+        from mmt_tpu.models import MmtClassificationModel
+
+        cfg = ClassificationModelConfig(
+            encoder=EncoderConfig(
+                mmt=tiny_encoder_config(),
+                encoder_cls="tests.fixtures_encoder.TinyCustomEncoder",
+            ),
+            num_classes=2,
+            cls_heads=[ClsHeadConfig(inner_dim=32, num_classes=2, name="itm")],
+        )
+        model = MmtClassificationModel(cfg, num_patch_per_row=2)
+        inputs = dict(
+            word_ids=jnp.zeros((2, 8), jnp.int32),
+            patch_embeddings=jnp.ones((2, 4, 12), jnp.float32),
+            lengths=jnp.full((2,), 8, jnp.int32),
+        )
+        params = model.init(jax.random.PRNGKey(0), **inputs)
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        names = ["/".join(str(k) for k in path) for path, _ in flat]
+        assert any("patch_proj" in n for n in names)  # custom class used
+        assert not any("transformer" in n for n in names)
+        out = model.apply(params, **inputs)
+        assert out["itm_logits"].shape == (2, 2)
+
+    def test_bad_encoder_cls_raises(self):
+        from mmt_tpu.configs.encoder import EncoderConfig, build_encoder
+
+        cfg = EncoderConfig(encoder_cls="tests.fixtures_encoder.Missing")
+        with pytest.raises(AttributeError):
+            build_encoder(cfg, num_patch_per_row=2)

@@ -8,6 +8,7 @@ generators -- so these tests also pin the two id derivations together.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmt_tpu.features.relative_position import (
     MmtRelativePositionGenerator,
@@ -197,10 +198,12 @@ def test_ring_sharded_matches_unsharded():
     )
 
 
-def test_split_schedule_matches_full(monkeypatch):
+@pytest.mark.parametrize("mode", ["rect", "list"])
+def test_split_schedule_matches_full(monkeypatch, mode):
     """Static far/structured tile split (forced via MMT_ATTN_SPLIT=1):
     output must match the dense reference AND the single-kernel path
-    bitwise-closely, including the length-mask and lse edge rows."""
+    bitwise-closely, including the length-mask and lse edge rows.
+    Covers both far-pass implementations (rect grid / tile list)."""
     import mmt_tpu.ops.pallas_attention as pa
 
     geo = RelGeometry(text_max_distance=3, num_patch_per_row=2, num_core_layers=1)
@@ -215,6 +218,7 @@ def test_split_schedule_matches_full(monkeypatch):
     want = dense_reference(q, k, v, table, ids, lengths)
 
     monkeypatch.setenv("MMT_ATTN_SPLIT", "1")
+    monkeypatch.setenv("MMT_ATTN_SPLIT_MODE", mode)
     got_split = pallas_relative_attention(
         q, k, v, table, geo, lengths, block_q=block, block_k=block,
         interpret=True,
@@ -230,6 +234,38 @@ def test_split_schedule_matches_full(monkeypatch):
     np.testing.assert_allclose(np.asarray(got_split) * m,
                                np.asarray(got_full) * m,
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["rect", "list"])
+def test_split_schedule_1d_all_far_rows(monkeypatch, mode):
+    """1D text-only geometry where some qi rows have NO structured tile:
+    the structured pass must still emit initialized (o=0, lse=-inf)
+    blocks for those rows (sentinel rows) instead of feeding unwritten
+    memory into the logsumexp combine."""
+    import mmt_tpu.ops.pallas_attention as pa
+
+    geo = RelGeometry(text_max_distance=3)  # 1D: image_len == 0
+    B, S, H, D, V = 1, 512, 2, 32, 9
+    block = 64
+    meta = pa._build_tile_meta(geo, S, block, block)
+    far_list, struct_list = pa._split_tile_lists(np.asarray(meta), 8, 8)
+    # The far corner rows are all-far => struct sentinel rows exist.
+    assert (struct_list[2] == 2).any()
+
+    q, k, v, table = _rand_inputs(B, S, H, D, V, seed=11)
+    lengths = jnp.asarray([450], jnp.int32)
+    ids = _ids_for(geo, S)
+    want = dense_reference(q, k, v, table, ids, lengths)
+
+    monkeypatch.setenv("MMT_ATTN_SPLIT", "1")
+    monkeypatch.setenv("MMT_ATTN_SPLIT_MODE", mode)
+    got = pallas_relative_attention(
+        q, k, v, table, geo, lengths, block_q=block, block_k=block,
+        interpret=True,
+    )
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(want) * m,
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_split_schedule_gradients(monkeypatch):
