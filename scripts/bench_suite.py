@@ -340,6 +340,151 @@ def _measure_e2e_pretrain(record_path, vocab_path, batch=64, seq_len=256,
     return batch * chunk * n_chunks / dt
 
 
+def _make_e2e_retrieval_dataset(root, n_img=16, n_txt=96, image_size=224):
+    """Image records + text records for the cross-product predict path
+    (src/data/retrieval_dataloader.py:139-195 workload shape)."""
+    import io
+    import os
+
+    from PIL import Image
+
+    from mmt_tpu.data.tfrecord import TFRecordWriter, build_example
+
+    vocab_path = os.path.join(root, "vocab.txt")
+    with open(vocab_path) as f:
+        words = [w for w in f.read().split("\n")
+                 if w and not w.startswith(("[", "##"))]
+    rng = np.random.default_rng(1)
+    img_path = os.path.join(root, "e2e_images.tfrecord")
+    txt_path = os.path.join(root, "e2e_texts.tfrecord")
+    if not os.path.exists(img_path):
+        with TFRecordWriter(img_path) as w:
+            for i in range(n_img):
+                arr = rng.integers(0, 256, (image_size, image_size, 3),
+                                   dtype=np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+                w.write(build_example({
+                    "image_data": [buf.getvalue()],
+                    "image_index": [i],
+                }))
+        with TFRecordWriter(txt_path) as w:
+            for i in range(n_txt):
+                cap = " ".join(rng.choice(words, size=20))
+                w.write(build_example({
+                    "caption_attribution_description": [cap.encode()],
+                    "caption_reference_description": [cap[:40].encode()],
+                    "text_index": [i],
+                    "gt_image_index": [i % n_img],
+                }))
+    return img_path, txt_path, n_img, n_txt
+
+
+def _classification_task(seq_len):
+    from mmt_tpu.configs import (
+        ClassificationModelConfig,
+        ClassificationTaskConfig,
+        ClsHeadConfig,
+        MmtClassificationDataConfig,
+        MmtEncoderConfig,
+        TrainerConfig,
+    )
+    from mmt_tpu.configs.encoder import EncoderConfig
+    from mmt_tpu.train.tasks import ClassificationTask
+
+    enc = MmtEncoderConfig(
+        relative_att_num_core_layers=1,
+        relative_vocab_size=49,
+        compute_dtype="bfloat16",
+        attention_impl="pallas",
+    )
+    task_cfg = ClassificationTaskConfig(
+        model=ClassificationModelConfig(
+            encoder=EncoderConfig(mmt=enc),
+            num_classes=2,
+            cls_heads=[ClsHeadConfig(inner_dim=768, num_classes=2, name="itm")],
+        ),
+        train_data=MmtClassificationDataConfig(max_seq_len=seq_len),
+    )
+    return ClassificationTask(task_cfg, TrainerConfig())
+
+
+def _measure_e2e_predict(root, vocab_path, batch=64, seq_len=512, chunk=8):
+    """Records on disk -> cross-product retrieval loader -> TPU scoring.
+
+    Same streaming methodology as ``_measure_e2e_pretrain``: producer
+    thread, chunked dispatch (one jit scans `chunk` stacked batches and
+    returns their scores) to amortize the per-dispatch relay round trip.
+    """
+    import queue as queue_mod
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmt_tpu.configs.data import MmtRetrievalDataConfig
+    from mmt_tpu.data.loaders import MmtRetrievalLoader
+    from mmt_tpu.train.tasks import _model_inputs
+
+    img_path, txt_path, n_img, n_txt = _make_e2e_retrieval_dataset(root)
+    cfg = MmtRetrievalDataConfig(
+        image_input_path=img_path, text_input_path=txt_path,
+        num_image_examples=n_img, num_text_examples=n_txt,
+        vocab_filename=vocab_path, global_batch_size=batch,
+        max_seq_len=seq_len, image_size=224, patch_size=16,
+        is_training=False, drop_remainder=False,
+        include_image_text_index=True, relative_att_num_core_layers=1,
+    )
+    task = _classification_task(seq_len)
+    loader = MmtRetrievalLoader(cfg)
+    first = next(iter(loader.load()))
+    params = task.init(jax.random.PRNGKey(0), first)
+    step = task.make_inference_step()
+
+    @jax.jit
+    def run_chunk(params, stacked):
+        def body(_, b):
+            return (), step(params, b)
+
+        _, scores = jax.lax.scan(body, (), stacked)
+        return scores
+
+    def chunks():
+        it = iter(loader.load())
+        buf = []
+        for b in it:
+            buf.append({k: jnp.asarray(v) for k, v in _model_inputs(b).items()})
+            if len(buf) == chunk:
+                yield jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
+                buf = []
+        # tail dropped: steady-state rate only
+
+    gen = chunks()
+    warm = next(gen)
+    np.asarray(run_chunk(params, warm))  # compile, not timed
+
+    q = queue_mod.Queue(maxsize=2)
+    n_counted = 0
+
+    def producer():
+        for c in gen:
+            q.put(c)
+        q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    while True:
+        c = q.get()
+        if c is None:
+            break
+        np.asarray(run_chunk(params, c))
+        n_counted += batch * chunk
+    dt = time.perf_counter() - t0
+    th.join()
+    return n_counted / dt if n_counted else 0.0
+
+
 def _pretrain_task(seq_len, micro):
     from mmt_tpu.configs import (
         ClsHeadConfig,
@@ -394,6 +539,13 @@ def run_e2e(emit):
             "unit": "examples/sec",
             "note": "disk -> host pipeline -> TPU train step, overlapped "
                     "producer thread, chunk-amortized dispatch",
+        })
+        pred_eps = _measure_e2e_predict(root, vocab_path)
+        emit({
+            "metric": "e2e_retrieval_predict_s512", "value": round(pred_eps, 2),
+            "unit": "examples/sec",
+            "note": "disk -> cross-product loader -> TPU scoring, same "
+                    "streaming methodology",
         })
 
 
