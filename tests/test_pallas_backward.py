@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmt_tpu.ops.pallas_attention import RelGeometry, pallas_relative_attention
 from tests.test_pallas_attention import (
@@ -59,7 +60,11 @@ def _compare(geo, B, S, H, D, V, lengths, block, atol=3e-4):
         )
 
 
-def test_grads_2d_geometry():
+@pytest.mark.parametrize("dsv_mode", ["mxu", "loop"])
+def test_grads_2d_geometry(monkeypatch, dsv_mode):
+    # Both dRelTable band-scatter implementations: the MXU deskew
+    # (default) and the per-offset loop fallback.
+    monkeypatch.setenv("MMT_ATTN_DSV", dsv_mode)
     geo = RelGeometry(text_max_distance=5, num_patch_per_row=4, num_core_layers=1)
     _compare(geo, B=2, S=128, H=2, D=16, V=24, lengths=[128, 100], block=64)
 
