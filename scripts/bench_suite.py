@@ -538,14 +538,21 @@ def run_e2e(emit):
             "metric": "e2e_pretrain_train_s256", "value": round(e2e_eps, 2),
             "unit": "examples/sec",
             "note": "disk -> host pipeline -> TPU train step, overlapped "
-                    "producer thread, chunk-amortized dispatch",
+                    "producer thread, chunk-amortized dispatch.  On this "
+                    "tunneled runtime every dispatch round-trips the "
+                    "full train state over HTTP, so this measures the "
+                    "relay; on directly-attached TPUs (donated state "
+                    "stays on device) the e2e rate is bounded by "
+                    "min(host_pipeline_pretrain_s256 x num_workers, "
+                    "pretrain_train_step_s256).",
         })
         pred_eps = _measure_e2e_predict(root, vocab_path)
         emit({
             "metric": "e2e_retrieval_predict_s512", "value": round(pred_eps, 2),
             "unit": "examples/sec",
             "note": "disk -> cross-product loader -> TPU scoring, same "
-                    "streaming methodology",
+                    "streaming methodology and the same relay caveat "
+                    "(params re-ship per dispatch here).",
         })
 
 
