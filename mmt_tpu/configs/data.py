@@ -65,6 +65,16 @@ class MmtDataConfig(Config):
     # 2 x [S,S] int32 per example; src/input_utils.py:35-40).
     device_side_inputs: bool = True
 
+    # --- TPU-native extension: ship the raw uint8 image and run
+    # /255 -> MEAN-normalize -> patch extraction INSIDE the XLA program
+    # (fuses into the patch-projection matmul; 4x less host->device
+    # traffic than [N, 3p^2] float patches and no host patch work).
+    # Inference/classification retrieval only (MPP masking zeroes patch
+    # embeddings on host); sources must already be image_size x
+    # image_size (the loader raises otherwise -- host resize would
+    # reorder the faithful normalize-then-resize float ops).
+    ship_raw_images: bool = False
+
     @property
     def num_patch_per_row(self) -> int:
         return self.image_size // self.patch_size

@@ -101,6 +101,28 @@ class ExampleAssembler:
         # astype-then-divide, without the intermediate copy).
         return np.true_divide(rgb, 255, dtype=np.float32)
 
+    def raw_image_u8(self, image_bytes: bytes, flip: bool = False) -> np.ndarray:
+        """uint8 [size, size, 3] for the device-side patch path
+        (``ship_raw_images``).  Sources must already be square at
+        ``image_size``: a host resize here would reorder the faithful
+        normalize-then-resize float sequence."""
+        from mmt_tpu.data import native
+
+        rgb = native.decode_jpeg(image_bytes)
+        if rgb is None:
+            from PIL import Image
+
+            rgb = np.asarray(
+                Image.open(io.BytesIO(image_bytes)).convert("RGB")
+            )
+        size = self.config.image_size
+        if rgb.shape[:2] != (size, size):
+            raise ValueError(
+                f"ship_raw_images requires {size}x{size} sources, got "
+                f"{rgb.shape[:2]} (pre-resize the dataset or disable the flag)"
+            )
+        return np.ascontiguousarray(rgb[:, ::-1]) if flip else rgb
+
     def resize(self, image: np.ndarray) -> np.ndarray:
         """Bilinear resize to (image_size, image_size) matching
         tf.image.resize defaults (half-pixel centers, no antialias)."""

@@ -426,13 +426,28 @@ class MmtRetrievalLoader(_BaseLoader):
         super().__init__(config, tokenizer)
         self.cfg = config
 
+    def _attach_raw_image(self, ex, payload):
+        """ship_raw_images: carry the uint8 image for device-side patch
+        extraction (re-parse is once per IMAGE; amortized over the
+        cross-product's ~100 texts per image)."""
+        raw = parse_example(payload)
+        field = self.cfg.image_data_field
+        if field in raw and raw[field]:
+            ex.extras["raw_image"] = self.assembler.raw_image_u8(
+                bytes(raw[field][0])
+            )
+        return ex
+
     def _example_iter(self, shard_index, num_shards, rng):
         cfg = self.cfg
         if cfg.input_path:
             for payload in self._record_iter(
                 cfg.input_path, 0, 1, None, repeat=False
             ):
-                yield self._decode(payload, rng, False)
+                ex = self._decode(payload, rng, False)
+                if cfg.ship_raw_images:
+                    ex = self._attach_raw_image(ex, payload)
+                yield ex
             return
         # Cross product: image-major outer loop (parity with the reference's
         # nested interleave, retrieval_dataloader.py:139-195).  Decoded
@@ -467,6 +482,8 @@ class MmtRetrievalLoader(_BaseLoader):
         for img_path in image_files:
             for payload in TFRecordReader(img_path):
                 img = self._decode(payload, rng, False)
+                if cfg.ship_raw_images:
+                    img = self._attach_raw_image(img, payload)
                 for txt in text_iter():
                     yield AssembledExample(
                         patch_token_ids=img.patch_token_ids,
@@ -505,9 +522,14 @@ class MmtRetrievalLoader(_BaseLoader):
         word_ids = np.zeros((batch_size, s), np.int32)
         seg = np.zeros((batch_size, s), np.int32)
         lengths = np.zeros((batch_size,), np.int32)
-        patches = np.zeros(
-            (batch_size,) + examples[0].patch_embeddings.shape, np.float32
-        )
+        raw_mode = cfg.ship_raw_images
+        if raw_mode:
+            size = cfg.image_size
+            images = np.zeros((batch_size, size, size, 3), np.uint8)
+        else:
+            patches = np.zeros(
+                (batch_size,) + examples[0].patch_embeddings.shape, np.float32
+            )
         image_index = np.full((batch_size,), -1, np.int64)
         text_index = np.full((batch_size,), -1, np.int64)
         gt_image_index = np.full((batch_size,), -1, np.int64)
@@ -516,7 +538,11 @@ class MmtRetrievalLoader(_BaseLoader):
             word_ids[i] = self.assembler.finalize_word_ids(ex.patch_token_ids, text_ids)
             seg[i] = _segment_ids(s, ex.num_image_wordpieces, ex.num_text_wordpieces)
             lengths[i] = ex.num_image_wordpieces + ex.num_text_wordpieces
-            patches[i] = ex.patch_embeddings
+            if raw_mode:
+                if "raw_image" in ex.extras:
+                    images[i] = ex.extras["raw_image"]
+            else:
+                patches[i] = ex.patch_embeddings
             image_index[i] = ex.extras.get("image_index", -1)
             text_index[i] = ex.extras.get("text_index", -1)
             gt_image_index[i] = ex.extras.get("gt_image_index", -1)
@@ -524,11 +550,10 @@ class MmtRetrievalLoader(_BaseLoader):
         label = (image_index == gt_image_index).astype(np.int32)
         weights = 1.0 + label.astype(np.float32) * (cfg.pos_weight - 1)
         valid = (np.arange(batch_size) < b).astype(np.int32)
-        return {
+        out = {
             "word_ids": word_ids,
             "segment_ids": seg,
             "lengths": np.maximum(lengths, 1),
-            "patch_embeddings": patches,
             "label_ids": label,
             "label_weights": weights * valid,
             "image_index": image_index,
@@ -536,3 +561,8 @@ class MmtRetrievalLoader(_BaseLoader):
             "gt_image_index": gt_image_index,
             "valid": valid,
         }
+        if raw_mode:
+            out["images"] = images
+        else:
+            out["patch_embeddings"] = patches
+        return out

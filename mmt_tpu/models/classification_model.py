@@ -51,6 +51,7 @@ class MmtClassificationModel(nn.Module):
         relative_att_ids=None,
         patch_embeddings=None,
         lengths=None,
+        images=None,
         deterministic: bool = True,
     ):
         outputs = self.encoder(
@@ -60,6 +61,7 @@ class MmtClassificationModel(nn.Module):
             relative_att_ids=relative_att_ids,
             patch_embeddings=patch_embeddings,
             lengths=lengths,
+            images=images,
             deterministic=deterministic,
         )
         for head_cfg, head in zip(self.config.cls_heads, self.cls_heads):

@@ -162,6 +162,7 @@ class MmtEncoder(nn.Module):
         relative_att_ids: Optional[jnp.ndarray] = None,
         patch_embeddings: Optional[jnp.ndarray] = None,
         lengths: Optional[jnp.ndarray] = None,
+        images: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         """Returns dict with ``sequence_output`` [B, S, H] (float32).
@@ -169,9 +170,29 @@ class MmtEncoder(nn.Module):
         Side inputs may be given explicitly ([B,S,S] / [S,S]) for parity
         testing, or derived: ``relative_att_ids`` from the static config
         map, ``att_mask`` from ``lengths``.
+
+        ``images`` (<uint8|float>[B, size, size, 3], already resized and
+        flipped on host) is the device-side alternative to
+        ``patch_embeddings``: /255 (uint8), MEAN-normalize, and patch
+        extraction run inside the XLA program, where they fuse into the
+        patch-projection matmul -- 4x less host->device traffic than
+        shipping [N, 3p^2] float patches.  Inference/classification
+        path only: MPP masking zeroes patch embeddings on host, so the
+        pretrain loader keeps shipping patch tensors.
         """
         cfg = self.config
         batch, seq_len = word_ids.shape
+        if patch_embeddings is None and images is not None:
+            from mmt_tpu.features.patches import (
+                extract_patches,
+                normalize_image,
+            )
+
+            im = images
+            if im.dtype != jnp.float32:
+                im = im.astype(jnp.float32) / 255.0
+            p = im.shape[1] // self.num_patch_per_row
+            patch_embeddings = extract_patches(normalize_image(im), p)
 
         # The Pallas path regenerates ids and the padding mask in-kernel
         # from (geometry, lengths); only when the XLA path will run do we

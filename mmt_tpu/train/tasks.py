@@ -42,6 +42,7 @@ MODEL_INPUT_KEYS = (
     "relative_att_ids",
     "patch_embeddings",
     "lengths",
+    "images",  # device-side patch extraction (classification/retrieval)
 )
 
 

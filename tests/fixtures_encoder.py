@@ -17,7 +17,7 @@ class TinyCustomEncoder(nn.Module):
     @nn.compact
     def __call__(self, word_ids, segment_ids=None, att_mask=None,
                  relative_att_ids=None, patch_embeddings=None, lengths=None,
-                 deterministic: bool = True):
+                 images=None, deterministic: bool = True):
         cfg = self.config
         emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="embed")(word_ids)
         if patch_embeddings is not None:

@@ -394,3 +394,48 @@ class TestMultiprocessLoader:
         out = list(multiprocess_batches(
             lambda s, n: MmtPretrainLoader(cfg).load(s, n), num_workers=0))
         assert len(out) == len(list(MmtPretrainLoader(cfg).load()))
+
+
+class TestShipRawImages:
+    def test_device_patch_path_matches_host(self, tmp_path):
+        # ship_raw_images: uint8 images + on-device /255 -> normalize ->
+        # extract must reproduce the host patch tensors and model scores.
+        import jax
+        import jax.numpy as jnp
+
+        from mmt_tpu.features.patches import extract_patches, normalize_image
+
+        rng = np.random.default_rng(12)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "r.tfrecord"), 6, rng,
+                             with_indices=True)
+        kw = data_kwargs(vocab, input_path=path, global_batch_size=6,
+                         is_training=False)
+        host = next(iter(MmtRetrievalLoader(
+            MmtRetrievalDataConfig(**kw)).load()))
+        raw = next(iter(MmtRetrievalLoader(
+            MmtRetrievalDataConfig(**kw, ship_raw_images=True)).load()))
+        assert "images" in raw and "patch_embeddings" not in raw
+        assert raw["images"].dtype == np.uint8
+        np.testing.assert_array_equal(host["word_ids"], raw["word_ids"])
+
+        im = jnp.asarray(raw["images"]).astype(jnp.float32) / 255.0
+        dev_patches = extract_patches(normalize_image(im), 16)
+        np.testing.assert_allclose(
+            np.asarray(dev_patches), host["patch_embeddings"],
+            atol=1e-6, rtol=1e-6,
+        )
+
+    def test_raw_mode_rejects_wrong_size(self, tmp_path):
+        from mmt_tpu.data.assembly import ExampleAssembler
+        from mmt_tpu.configs.data import MmtDataConfig
+        from mmt_tpu.text.wordpiece import BertTokenizer
+
+        vocab = make_vocab(tmp_path)
+        asm = ExampleAssembler(
+            MmtDataConfig(image_size=64, patch_size=16, max_seq_len=32),
+            BertTokenizer(vocab),
+        )
+        rng = np.random.default_rng(0)
+        with pytest.raises(ValueError, match="ship_raw_images"):
+            asm.raw_image_u8(png_bytes(rng, size=32))
