@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 from typing import Optional
 
@@ -218,12 +219,48 @@ def _band_bias_rolled(qr, delta, dtd, band0, shape):
     ``delta`` = k_base - q_base (traced scalar).
     """
     bq, bk = shape
+    if _narrow_roll_ok(band0, dtd, bk):
+        return _band_bias_rolled_narrow(qr, delta, dtd, band0, shape)
     strip = qr[:, band0:band0 + 2 * dtd + 1]
     padded = jnp.pad(strip, ((0, 0), (0, bk - strip.shape[1])))
     # Normalize the arithmetically-negative rotate into [0, bk): the
     # roll primitive requires a non-negative dynamic shift.
     shift = (-(dtd + jnp.asarray(delta, jnp.int32))) % bk
     return pltpu.roll(padded, shift, 1, stride=1, stride_axis=0)
+
+
+def _narrow_roll_ok(band0, dtd, bk) -> bool:
+    """The mod-128 skew applies when the strip sits inside one 128-lane
+    aligned window of qr and bk is a multiple of 128.
+
+    Default on (measured v5e B=8/S=4096 fwd: 17.2 -> 16.1 ms/layer alone,
+    and the largest single term of the 17.2 -> 12.0 combined-default win);
+    ``MMT_ATTN_BAND=wide`` restores the full-width roll."""
+    return (
+        os.environ.get("MMT_ATTN_BAND", "narrow") == "narrow"
+        and bk % 128 == 0
+        and (band0 % 128) + 2 * dtd + 1 <= 128
+    )
+
+
+def _band_bias_rolled_narrow(qr, delta, dtd, band0, shape):
+    """Band skew on a 128-lane window, lane-tiled up to the full tile.
+
+    The in-band read position j reads lane j mod 128, and the strided
+    roll places strip column c = offs + dtd at exactly that lane for
+    every in-band (i, j) (the congruence holds mod 128 because the strip
+    is < 128 wide), so in-band values are bit-identical to the full-width
+    skew.  Out-of-band lanes hold rotated garbage from the rest of the
+    window -- exactly the contract of the wide version, whose wrap
+    garbage the caller's select/mask discards.  No zero pad and no extra
+    qr columns are needed; the rolled area is 1/(bk/128) of the wide
+    roll."""
+    bq, bk = shape
+    w0 = (band0 // 128) * 128
+    window = qr[:, w0:w0 + 128]
+    shift = (-(band0 - w0 + dtd + jnp.asarray(delta, jnp.int32))) % 128
+    nr = pltpu.roll(window, shift, 1, stride=1, stride_axis=0)
+    return jnp.concatenate([nr] * (bk // 128), axis=1)
 
 
 def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
@@ -252,7 +289,11 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
     left = jmi < -dtd - delta
     rl = right | left
     fast = shape[1] >= 2 * dtd + 1
-    mul2 = fast and os.environ.get("MMT_ATTN_BIAS", "mul2") == "mul2"
+    # Measured on v5e at B=8/S=4096: select 17.46 vs mul2 18.12 ms/layer
+    # (sublane->lane broadcasts, not selects, are the expensive primitive
+    # and mul2 has more of them) -- the select chain is the default and
+    # mul2 stays behind the env flag.
+    mul2 = fast and os.environ.get("MMT_ATTN_BIAS", "select") == "mul2"
 
     if mul2:
         # Multiply-form chain: a [bq, bk] select costs ~5x a multiply on
@@ -582,6 +623,54 @@ def _dropout_tile(seed, batch_idx, head, q_base, k_base, shape, rate: float):
     return _dropout_keep(seed_b, head, i_pos, j_pos, rate)
 
 
+def _stats_lanes() -> int:
+    """Lane width of the m/l flash-statistics scratch: 1 (the default --
+    measured v5e B=8/S=4096 fwd 13.1 -> 12.0 ms/layer on top of
+    narrow+uncond; the [bq, 1] stores skip the lane broadcast) or 128
+    (layout-friendly broadcast rows, ``MMT_ATTN_SLIM_STATS=0``)."""
+    return 1 if os.environ.get("MMT_ATTN_SLIM_STATS", "1") == "1" else 128
+
+
+def _prescale_on(softmax_scale: float) -> bool:
+    """Pre-scale the [bq, d] q tile instead of multiplying every [bq, bk]
+    score tile by softmax_scale (a full VPU pass per head per grid step).
+
+    Both the QK logits and the qr-derived bias inherit the scale through
+    the contractions.  Only engaged for power-of-two scales (the flagship
+    1/sqrt(64) = 1/8): a pow2 multiply is an exponent shift, exact in any
+    float dtype and distributing exactly over the dot-product sums, so
+    the results are bit-identical; a non-pow2 scale would round q in bf16
+    before the dot and shift logits by ~0.4%."""
+    return (
+        os.environ.get("MMT_ATTN_PRESCALE", "1") != "0"
+        and math.frexp(softmax_scale)[0] == 0.5
+    )
+
+
+def _apply_length_mask(ss, length, q_base, k_base, block_q, block_k):
+    """Add the pad-mask term to every head's score tile.
+
+    Default adds unconditionally: the term is exactly 0.0 on untriggered
+    tiles, so this is bit-identical to the guarded form, and Mosaic's
+    ``lax.cond`` costs hb x [bq, bk] operand/result copies per grid step
+    that dwarf the hb add passes (measured v5e B=8/S=4096 fwd: cond 17.2
+    vs uncond 14.2 ms/layer -- the single largest line-item win).
+    ``MMT_ATTN_LENMASK=cond`` restores the guarded form."""
+
+    def apply_mask(ss):
+        term = _length_mask_term(
+            length, q_base, k_base, ss[0].shape, block_q, block_k
+        )
+        return tuple(s + term for s in ss)
+
+    if os.environ.get("MMT_ATTN_LENMASK", "uncond") == "uncond":
+        return apply_mask(tuple(ss))
+    tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
+    return jax.lax.cond(
+        length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
+    )
+
+
 def _tile_contributes(q_base, k_base, length, block_q, block_k):
     """Exact tile skip: only tiles with real queries AND real keys run.
 
@@ -673,10 +762,14 @@ def _fwd_list_kernel(
     length = lengths_ref[b]
     dtd = geo.text_max_distance
 
+    prescale = _prescale_on(softmax_scale)
+
     @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k)
              & (flag != 2))
     def _body():
         qs = [q_ref[0, hh] for hh in range(hb)]
+        if prescale:
+            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
         ss = [
             jax.lax.dot_general(
                 q, k_ref[0, hh], (((1,), (1,)), ((), ())),
@@ -697,28 +790,25 @@ def _fwd_list_kernel(
             # flash statistics below instead of the logits tile.
             avs = [
                 jnp.where(flag == 0, qr[:, dtd], qr[:, 2 * dtd])
-                * softmax_scale
                 for qr in qrs
             ]
-            ss = [s * softmax_scale for s in ss]
+            if not prescale:
+                avs = [av * softmax_scale for av in avs]
+                ss = [s * softmax_scale for s in ss]
         else:
             avs = [None] * hb
             biases = _tile_bias_multi(
                 qrs, meta_ref, qi * nk + ki, q_base, k_base, shape, geo,
                 rel_vocab, block_q, block_k,
             )
-            ss = [(s + bias) * softmax_scale for s, bias in zip(ss, biases)]
+            if prescale:
+                ss = [s + bias for s, bias in zip(ss, biases)]
+            else:
+                ss = [
+                    (s + bias) * softmax_scale for s, bias in zip(ss, biases)
+                ]
 
-        def apply_mask(ss):
-            term = _length_mask_term(
-                length, q_base, k_base, shape, block_q, block_k
-            )
-            return tuple(s + term for s in ss)
-
-        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-        ss = jax.lax.cond(
-            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
-        )
+        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
 
         for hh, s in enumerate(ss):
             m_prev = m_scratch[hh, :, 0]
@@ -808,8 +898,8 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((hb, block_q, 128), jnp.float32),
-                pltpu.VMEM((hb, block_q, 128), jnp.float32),
+                pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
+                pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
                 pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
             ],
         )
@@ -862,8 +952,8 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((hb, block_q, 128), jnp.float32),
-                pltpu.VMEM((hb, block_q, 128), jnp.float32),
+                pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
+                pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
                 pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
             ],
         )
@@ -931,9 +1021,13 @@ def _fwd_kernel(
         # overhead (measured ~20%/tile) on the majority tile class.
         run = run & (meta_ref[3, t] != 2)
 
+    prescale = _prescale_on(softmax_scale)
+
     @pl.when(run)
     def _body():
         qs = [q_ref[0, hh] for hh in range(hb)]
+        if prescale:
+            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
         ss = [
             jax.lax.dot_general(
                 q, k_ref[0, hh], (((1,), (1,)), ((), ())),
@@ -956,9 +1050,10 @@ def _fwd_kernel(
             if far_only:
                 avs = [
                     jnp.where(meta_ref[3, t] == 0, qr[:, dtd], qr[:, 2 * dtd])
-                    * softmax_scale
                     for qr in qrs
                 ]
+                if not prescale:
+                    avs = [av * softmax_scale for av in avs]
             else:
                 biases = _tile_bias_multi(
                     qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
@@ -966,18 +1061,10 @@ def _fwd_kernel(
                 )
                 ss = [s + bias for s, bias in zip(ss, biases)]
 
-        ss = [s * softmax_scale for s in ss]
+        if not prescale:
+            ss = [s * softmax_scale for s in ss]
 
-        def apply_mask(ss):
-            term = _length_mask_term(
-                length, q_base, k_base, shape, block_q, block_k
-            )
-            return tuple(s + term for s in ss)
-
-        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-        ss = jax.lax.cond(
-            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
-        )
+        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
 
         for hh, s in enumerate(ss):
             m_prev = m_scratch[hh, :, 0]
@@ -1171,8 +1258,8 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hb, block_q, 128), jnp.float32),
-            pltpu.VMEM((hb, block_q, 128), jnp.float32),
+            pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
+            pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
             pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
         ],
     )
@@ -1225,9 +1312,13 @@ def _bwd_dq_kernel(
     k_base = qoff_ref[1] + ki * block_k
     length = lengths_ref[b]
 
+    prescale = _prescale_on(softmax_scale)
+
     @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
     def _body():
         qs = [q_ref[0, hh] for hh in range(hb)]
+        if prescale:
+            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
         ks = [k_ref[0, hh] for hh in range(hb)]
         ss = [
             jax.lax.dot_general(
@@ -1249,18 +1340,10 @@ def _bwd_dq_kernel(
                 rel_vocab, block_q, block_k,
             )
             ss = [s + bias for s, bias in zip(ss, biases)]
-        ss = [s * softmax_scale for s in ss]
+        if not prescale:
+            ss = [s * softmax_scale for s in ss]
 
-        def apply_mask(ss):
-            term = _length_mask_term(
-                length, q_base, k_base, ss[0].shape, block_q, block_k
-            )
-            return tuple(s + term for s in ss)
-
-        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-        ss = jax.lax.cond(
-            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
-        )
+        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
 
         dss = []
         for hh, s in enumerate(ss):
@@ -1347,9 +1430,17 @@ def _bwd_dkv_kernel(
     k_base = qoff_ref[1] + ki * block_k
     length = lengths_ref[b]
 
+    prescale = _prescale_on(softmax_scale)
+
     @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
     def _body():
         qs = [q_ref[0, hh] for hh in range(hb)]
+        if prescale:
+            # The prescaled q also feeds the dK accumulation below, so
+            # dk_acc arrives already scaled and _finalize skips its
+            # multiply (a pow2 scale distributes exactly over the dot
+            # sums -- bit-identical to scaling afterwards).
+            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
         ks = [k_ref[0, hh] for hh in range(hb)]
         ss = [
             jax.lax.dot_general(
@@ -1371,18 +1462,10 @@ def _bwd_dkv_kernel(
                 rel_vocab, block_q, block_k,
             )
             ss = [s + bias for s, bias in zip(ss, biases)]
-        ss = [s * softmax_scale for s in ss]
+        if not prescale:
+            ss = [s * softmax_scale for s in ss]
 
-        def apply_mask(ss):
-            term = _length_mask_term(
-                length, q_base, k_base, ss[0].shape, block_q, block_k
-            )
-            return tuple(s + term for s in ss)
-
-        tile_end = jnp.maximum(q_base + block_q, k_base + block_k)
-        ss = jax.lax.cond(
-            length < tile_end, apply_mask, lambda ss: tuple(ss), tuple(ss)
-        )
+        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
 
         for hh, s in enumerate(ss):
             lse = lse_ref[0, hh, :, 0]
@@ -1417,7 +1500,13 @@ def _bwd_dkv_kernel(
     @pl.when(qi == pl.num_programs(3) - 1)
     def _finalize():
         for hh in range(hb):
-            dk_ref[0, hh] = (dk_acc[hh] * softmax_scale).astype(dk_ref.dtype)
+            if prescale:
+                # dk_acc accumulated ds @ (scale * q): already scaled.
+                dk_ref[0, hh] = dk_acc[hh].astype(dk_ref.dtype)
+            else:
+                dk_ref[0, hh] = (
+                    dk_acc[hh] * softmax_scale
+                ).astype(dk_ref.dtype)
             dv_ref[0, hh] = dv_acc[hh].astype(dv_ref.dtype)
 
 

@@ -120,6 +120,76 @@ def test_bf16_close():
     )
 
 
+@pytest.mark.parametrize("flags", [
+    {"MMT_ATTN_BAND": "wide"},
+    {"MMT_ATTN_LENMASK": "cond"},
+    {"MMT_ATTN_SLIM_STATS": "0"},
+    {"MMT_ATTN_PRESCALE": "0"},
+    {"MMT_ATTN_BIAS": "mul2"},
+    {"MMT_ATTN_BAND": "wide", "MMT_ATTN_LENMASK": "cond",
+     "MMT_ATTN_SLIM_STATS": "0"},
+])
+def test_kernel_variant_flags_parity(monkeypatch, flags):
+    """Every kernel schedule flag must stay numerically exact.
+
+    The defaults (narrow mod-128 skew, unconditional length-mask add,
+    slim [bq, 1] stats scratch, q-prescale) are covered by the whole
+    rest of the suite; this pins the non-default legacy schedules (wide
+    roll, cond mask, 128-lane stats, post-scale, mul2 bias chain) --
+    all alternative schedules of the same math -- so perf A/Bs can't
+    drift semantics."""
+    for key, val in flags.items():
+        monkeypatch.setenv(key, val)
+    geo = RelGeometry(text_max_distance=12, num_patch_per_row=8,
+                      num_core_layers=1)
+    _check(geo, B=2, S=512, H=2, D=64, V=49, lengths=[512, 300], block=128)
+    # 1D geometry exercises the all-far-row edge of the band math.
+    geo1d = RelGeometry(text_max_distance=12)
+    _check(geo1d, B=2, S=384, H=2, D=32, V=25, lengths=[384, 200], block=128)
+
+
+@pytest.mark.parametrize("flags", [
+    {},
+    {"MMT_ATTN_BAND": "wide", "MMT_ATTN_LENMASK": "cond"},
+    {"MMT_ATTN_PRESCALE": "0"},
+])
+def test_kernel_variant_flags_gradients(monkeypatch, flags):
+    """Backward parity under the variant flags that reach the backward
+    recompute path (band schedule, length mask, q-prescale).
+
+    D=64 makes the softmax scale a power of two so the default prescale
+    path engages (incl. the dK-already-scaled finalize); all four input
+    grads are checked."""
+    for key, val in flags.items():
+        monkeypatch.setenv(key, val)
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=8,
+                      num_core_layers=1)
+    B, S, H, D, V = 1, 256, 2, 64, 32
+    q, k, v, table = _rand_inputs(B, S, H, D, V)
+    lengths = jnp.asarray([200], jnp.int32)
+    ids = _ids_for(geo, S)
+    m = jnp.asarray(_real_mask(lengths, S))
+
+    def loss_ref(q, k, v, table):
+        out = dense_reference(q, k, v, table, ids, lengths)
+        return jnp.sum((out * m) ** 2)
+
+    def loss_pallas(q, k, v, table):
+        out = pallas_relative_attention(
+            q, k, v, table, geo, lengths, block_q=128, block_k=128,
+            interpret=True,
+        )
+        return jnp.sum((out * m) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for name, a, b in zip("qkvt", g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
+
+
 def test_sequence_sharded_matches_unsharded():
     """shard_map fused attention (4-way seq shards) == single-device kernel."""
     from mmt_tpu.ops.pallas_attention import sequence_sharded_pallas_attention
