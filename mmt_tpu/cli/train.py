@@ -180,7 +180,8 @@ def main(argv=None):
                 total_shards=jax.process_count(),
             )
         train_step = task.make_train_step(
-            mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size
+            mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size,
+            grad_accum_dtype=cfg.trainer.grad_accum_dtype,
         )
     else:
         assert isinstance(cfg.task, ClassificationTaskConfig)

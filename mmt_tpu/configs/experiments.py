@@ -59,6 +59,12 @@ class TrainerConfig(Config):
     # Per-replica micro-batch for gradient accumulation in pretraining
     # (reference BATCH_SIZE_PER_REPLICA=64, src/tasks/pretraining.py:37-39).
     micro_batch_size: int = 64
+    # Accumulator dtype for the scanned gradient sum: "float32" (exact,
+    # a params-sized fp32 buffer) or "bfloat16" (halves the accumulator
+    # HBM -- headroom for longer sequences / bigger micro-batches; the
+    # per-micro-batch gradients are still computed in the model's
+    # compute dtype and only the running sum is stored rounded).
+    grad_accum_dtype: str = "float32"
 
 
 @dataclasses.dataclass

@@ -136,14 +136,18 @@ class PretrainingTask:
             )
         return upd
 
-    def make_train_step(self, mesh: Optional[Mesh] = None, micro_batch_size: int = 0):
+    def make_train_step(self, mesh: Optional[Mesh] = None, micro_batch_size: int = 0,
+                        grad_accum_dtype: str = "float32"):
         """Returns jitted (state, batch, rng) -> (state, metrics).
 
         ``micro_batch_size > 0`` enables gradient accumulation: the global
         batch is reshaped to [k, micro, ...] and scanned, summing grads of
         (loss / k) -- the reference's accumulation semantics
         (``src/tasks/pretraining.py:250-298``) with static shapes.
+        ``grad_accum_dtype="bfloat16"`` stores the running gradient sum
+        in bf16 (half the accumulator HBM; see ``TrainerConfig``).
         """
+        acc_dtype = jnp.dtype(grad_accum_dtype)
 
         def loss_for_grad(params, micro, rng, k):
             loss, (_, metrics) = self.compute_loss(params, micro, rng, False)
@@ -168,12 +172,19 @@ class PretrainingTask:
                     (loss, metrics), grads = jax.value_and_grad(
                         loss_for_grad, has_aux=True
                     )(state.params, micro, r, float(k))
-                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    grads_acc = jax.tree.map(
+                        lambda a, g: a + g.astype(acc_dtype), grads_acc, grads
+                    )
                     return (grads_acc, loss_acc + loss), metrics
 
-                zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+                zero_grads = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, acc_dtype), state.params
+                )
                 (grads, loss), metrics_stack = jax.lax.scan(
                     body, (zero_grads, jnp.zeros((), jnp.float32)), (micro_batches, rngs)
+                )
+                grads = jax.tree.map(
+                    lambda g, p: g.astype(p.dtype), grads, state.params
                 )
                 metrics = jax.tree.map(lambda x: jnp.sum(x, 0), metrics_stack)
             else:

@@ -148,6 +148,35 @@ class TestPretrainingTask:
         for f, a in zip(flat_f, flat_a):
             assert f.shape == a.shape
 
+    def test_bf16_grad_accumulation_tracks_fp32(self):
+        """bfloat16 accumulator: same trajectory as fp32 within bf16
+        rounding (params stay fp32; only the running grad sum rounds)."""
+        task = make_pretrain_task()
+        batch = pretrain_batch()
+        params = task.init(jax.random.PRNGKey(0), batch)
+        tx = create_optimizer(OptimizationConfig(), train_steps=100)
+        s32 = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        s16 = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        rng = jax.random.PRNGKey(1)
+        step32 = task.make_train_step(micro_batch_size=4)
+        step16 = task.make_train_step(
+            micro_batch_size=4, grad_accum_dtype="bfloat16"
+        )
+        s32, m32 = step32(s32, batch, rng)
+        s16, m16 = step16(s16, batch, rng)
+        np.testing.assert_allclose(
+            float(m16["total_loss"][0]), float(m32["total_loss"][0]),
+            rtol=1e-5,
+        )
+        for f, a in zip(
+            jax.tree_util.tree_leaves(s32.params),
+            jax.tree_util.tree_leaves(s16.params),
+        ):
+            assert a.dtype == f.dtype  # params untouched by accum dtype
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(f), atol=5e-3, rtol=5e-2,
+            )
+
     def test_sharded_train_step_on_mesh(self):
         mesh = create_mesh()
         assert mesh.devices.size == 8
