@@ -16,7 +16,11 @@ fused at long sequence lengths:
       and ONE strided roll (skew) per head + a single select against the
       clip values -- no per-offset loop;
     - far all-text tiles degenerate to the rank-1 clip value;
-    - the 2D image-image block lives in one tile (P^2 <= block);
+    - the 2D image-image block lives in one tile (P^2 <= block), its
+      per-id select loop gated on a lax.cond whose operands are shrunk
+      to a 128-aligned prefix subtile (Mosaic conds copy their
+      operands/results every grid step -- the full-tile form cost
+      ~4-5 ms/layer on tiles that never take the branch);
     - OOV part-padding ids => exactly zero bias (one-hot semantics, a
       multiply-form region mask); in-vocab part ids => rank-1 terms.
   Four heads pack per grid step, sharing every position mask.
@@ -263,6 +267,125 @@ def _band_bias_rolled_narrow(qr, delta, dtd, band0, shape):
     return jnp.concatenate([nr] * (bk // 128), axis=1)
 
 
+def _noimg_probe() -> bool:
+    """Timing-only probe (MMT_ATTN_NOIMG_PROBE=1): skip the image-id
+    lax.conds to size their per-tile operand-copy overhead.  Results are
+    WRONG for image-image pairs -- never set outside perf probes."""
+    return os.environ.get("MMT_ATTN_NOIMG_PROBE", "0") == "1"
+
+
+def _imgsub_mode() -> str:
+    """MMT_ATTN_IMGSUB: 'mul' computes the image-id loop
+    unconditionally on a 128-aligned prefix subtile and gates it with a
+    scalar flag multiply; 'cond' runs the subtile under a lax.cond;
+    '0' (default until the subtile forms are compile-verified on the
+    real Mosaic toolchain) keeps the round-2 full-tile lax.cond."""
+    mode = os.environ.get("MMT_ATTN_IMGSUB", "0")
+    return {"1": "cond"}.get(mode, mode)
+
+
+def _img_subtile(img_len, bq, bk) -> Optional[int]:
+    """128-aligned square subtile size covering the in-tile image block.
+
+    The image block always starts at local row/col 0 of the (single)
+    tile whose meta marks has_img (`_prepare` enforces img_len <= block;
+    with a nonzero q_start the local image rows are [0, img_len -
+    q_start) -- still a prefix), so restricting the image-id work to a
+    [sub, sub] prefix is exact.  The measured point (NOIMG probe, v5e
+    B=8/S=4096): the full-tile cond's hb x [bq, bk] operand/result
+    copies cost ~4-5 ms/layer on tiles that never take the branch;
+    shrinking the work to the subtile recovers most of it.  Returns
+    None (fall back to the full-tile cond) when the 128-aligned prefix
+    doesn't fit the tile, or under MMT_ATTN_IMGSUB=0."""
+    if _imgsub_mode() == "0":
+        return None
+    sub = -(-img_len // 128) * 128
+    if sub > bq or sub > bk:
+        return None
+    return sub
+
+
+def _prefix_add(x, add):
+    """``x[:sq, :sk] += add`` rebuilt from static slices + concatenation
+    (``dynamic_update_slice`` has no Mosaic TC lowering)."""
+    sq, sk = add.shape
+    top = x[:sq, :sk] + add
+    if x.shape[1] > sk:
+        top = jnp.concatenate([top, x[:sq, sk:]], axis=1)
+    if x.shape[0] > sq:
+        top = jnp.concatenate([top, x[sq:]], axis=0)
+    return top
+
+
+def _apply_image_bias(biases, qrs, meta_ref, t, q_base, k_base, shape, geo,
+                      rel_vocab):
+    """Add the image-image 2D-relative-id bias onto the has_img tile.
+
+    bias[i, j] += qr[i, ids2d(i_pos, j_pos)] for image x image pairs --
+    a per-position vocab gather, built as a per-id select loop (Mosaic
+    has no dynamic gather).  The loop only ever contributes on the one
+    tile carrying the image block; with a 128-aligned prefix subtile
+    available it runs on the [sub, sub] prefixes instead of the full
+    packed tiles -- unconditionally under a scalar flag multiply
+    ('mul', default: the image mask is already exactly 0 off the image
+    tile since tile bases are block multiples and img_len <= block, so
+    the flag multiply is belt-and-braces, not load-bearing) or under a
+    lax.cond
+    ('cond'); see _imgsub_mode/_img_subtile."""
+    img_len = geo.image_len
+    if _noimg_probe():
+        return list(biases)
+    nvid = min(geo.num_image_ids, rel_vocab)
+    sub = _img_subtile(img_len, shape[0], shape[1])
+    if sub is not None:
+        qrs_sub = [qr[:sub] for qr in qrs]
+        dtype = biases[0].dtype
+
+        def image_add_sub(flagf):
+            shp = (sub, sub)
+            i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+            j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+            ids2d = _image_ids_2d(i_pos, j_pos, geo)
+            imaskf = ((i_pos < img_len) & (j_pos < img_len)).astype(dtype)
+            if flagf is not None:
+                imaskf = imaskf * flagf
+            outs = []
+            for qr in qrs_sub:
+                add = jnp.zeros(shp, dtype)
+                for vid in range(nvid):
+                    add = add + jnp.where(
+                        ids2d == vid, qr[:, vid][:, None], 0.0
+                    )
+                outs.append(add * imaskf)
+            return tuple(outs)
+
+        if _imgsub_mode() == "mul":
+            adds = image_add_sub((meta_ref[2, t] == 1).astype(dtype))
+        else:
+            adds = jax.lax.cond(
+                meta_ref[2, t] == 1, lambda: image_add_sub(None),
+                lambda: tuple(jnp.zeros((sub, sub), dtype) for _ in qrs),
+            )
+        return [_prefix_add(b, a) for b, a in zip(biases, adds)]
+
+    def image_bias(biases):
+        i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ids2d = _image_ids_2d(i_pos, j_pos, geo)
+        imask = (i_pos < img_len) & (j_pos < img_len)
+        out = []
+        for qr, bias in zip(qrs, biases):
+            add = jnp.zeros_like(bias)
+            for vid in range(nvid):
+                add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
+            out.append(bias + jnp.where(imask, add, 0.0))
+        return tuple(out)
+
+    return list(jax.lax.cond(
+        meta_ref[2, t] == 1, image_bias, lambda bs: tuple(bs), tuple(biases),
+    ))
+
+
 def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
                      block_q, block_k):
     """Relative bias tiles for a list of per-head qr matrices.
@@ -359,26 +482,11 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
                 out.append(bias)
             biases = out
 
-        def image_bias_mul2(biases):
-            i_pos = q_base + ii
-            j_pos = k_base + jj
-            ids2d = _image_ids_2d(i_pos, j_pos, geo)
-            imask = jnp.logical_not(ti | tj) if img_len else None
-            out = []
-            for qr, bias in zip(qrs, biases):
-                add = jnp.zeros_like(bias)
-                for vid in range(min(geo.num_image_ids, rel_vocab)):
-                    add = add + jnp.where(
-                        ids2d == vid, qr[:, vid][:, None], 0.0
-                    )
-                out.append(bias + jnp.where(imask, add, 0.0))
-            return tuple(out)
-
         if img_len:
-            biases = list(jax.lax.cond(
-                meta_ref[2, t] == 1, image_bias_mul2,
-                lambda bs: tuple(bs), tuple(biases),
-            ))
+            biases = _apply_image_bias(
+                biases, qrs, meta_ref, t, q_base, k_base, shape, geo,
+                rel_vocab,
+            )
         return biases
 
     biases = []
@@ -445,22 +553,9 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
             ttf = tt.astype(biases[0].dtype)
             biases = [bias * ttf for bias in biases]
 
-        def image_bias(biases):
-            i_pos = q_base + ii
-            j_pos = k_base + jj
-            ids2d = _image_ids_2d(i_pos, j_pos, geo)
-            imask = jnp.logical_not(ti | tj)
-            out = []
-            for qr, bias in zip(qrs, biases):
-                add = jnp.zeros_like(bias)
-                for vid in range(min(geo.num_image_ids, rel_vocab)):
-                    add = add + jnp.where(ids2d == vid, qr[:, vid][:, None], 0.0)
-                out.append(bias + jnp.where(imask, add, 0.0))
-            return tuple(out)
-
-        biases = list(jax.lax.cond(
-            meta_ref[2, t] == 1, image_bias, lambda bs: tuple(bs), tuple(biases),
-        ))
+        biases = _apply_image_bias(
+            biases, qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
+        )
     return biases
 
 
@@ -487,6 +582,20 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
             out.append(col(dtd, rowsum * is_right)
                        + col(2 * dtd, rowsum * (1.0 - is_right)))
         return tuple(out)
+
+    # Unconditional schedule (MMT_ATTN_DSV_SCHED=uncond): run the general
+    # path on every tile with no far/band lax.cond.  Exact on far tiles:
+    # the band mask ``bandf`` is identically 0 there (all |offs| > dtd),
+    # the right/left edge masks partition the whole tile (a tile whose
+    # offset range contains both sides necessarily meets the band and is
+    # classified structured), and the image/part masks are 0 off the
+    # image block.  Trades the conds' per-tile operand/result copies for
+    # the band multiply+roll+MXU contraction on far tiles.
+    uncond = (
+        os.environ.get("MMT_ATTN_DSV_SCHED", "cond") == "uncond"
+        and dss[0].shape[1] >= 2 * dtd + 1
+        and os.environ.get("MMT_ATTN_DSV", "mxu") == "mxu"
+    )
 
     def general_dsv():
         shape = dss[0].shape
@@ -553,26 +662,78 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
                 ))
             return tuple(out)
 
-        dsvs = jax.lax.cond(
-            meta_ref[0, t] <= meta_ref[1, t], band_dsv,
-            lambda x: tuple(x), tuple(dsvs),
-        )
-
-        if img_len:
-            def image_dsv(dsvs):
-                ids2d = _image_ids_2d(i_pos, j_pos, geo)
-                imf = ((i_pos < img_len) & (j_pos < img_len)).astype(dtype)
-                ds_is = [ds * imf for ds in dss]
-                out = list(dsvs)
-                for vid in range(min(geo.num_image_ids, rel_vocab)):
-                    mf = (ids2d == vid).astype(dtype)
-                    for hh, ds_i in enumerate(ds_is):
-                        out[hh] = out[hh] + col(vid, jnp.sum(ds_i * mf, axis=1))
-                return tuple(out)
-
+        if uncond:
+            dsvs = band_dsv(tuple(dsvs))
+        else:
             dsvs = jax.lax.cond(
-                meta_ref[2, t] == 1, image_dsv, lambda x: tuple(x), dsvs
+                meta_ref[0, t] <= meta_ref[1, t], band_dsv,
+                lambda x: tuple(x), tuple(dsvs),
             )
+
+        if img_len and not _noimg_probe():
+            nvid = min(geo.num_image_ids, rel_vocab)
+            sub = _img_subtile(img_len, shape[0], shape[1])
+            if sub is not None:
+                # Subtile form (see _img_subtile): the image block is a
+                # [sub, sub] prefix of the has_img tile, so the image-id
+                # loop runs on the ds prefixes and lands [sub, v_pad]
+                # dsv adds -- not the full packed tiles.  'mul' mode
+                # computes it unconditionally under a scalar has_img
+                # flag multiply; 'cond' wraps it in a lax.cond.
+                ds_subs = [ds[:sub, :sub] for ds in dss]
+                lane_s = jax.lax.broadcasted_iota(jnp.int32, (sub, v_pad), 1)
+
+                def image_dsv_sub(flagf):
+                    shp = (sub, sub)
+                    i_s = q_base + jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+                    j_s = k_base + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+                    ids2d = _image_ids_2d(i_s, j_s, geo)
+                    imf = ((i_s < img_len) & (j_s < img_len)).astype(dtype)
+                    if flagf is not None:
+                        imf = imf * flagf
+                    outs = []
+                    for ds_s in ds_subs:
+                        ds_i = ds_s * imf
+                        add = jnp.zeros((sub, v_pad), dtype)
+                        for vid in range(nvid):
+                            mf = (ids2d == vid).astype(dtype)
+                            add = add + jnp.where(
+                                lane_s == vid,
+                                jnp.sum(ds_i * mf, axis=1)[:, None], 0.0,
+                            )
+                        outs.append(add)
+                    return tuple(outs)
+
+                if _imgsub_mode() == "mul":
+                    adds = image_dsv_sub(
+                        (meta_ref[2, t] == 1).astype(dtype)
+                    )
+                else:
+                    adds = jax.lax.cond(
+                        meta_ref[2, t] == 1, lambda: image_dsv_sub(None),
+                        lambda: tuple(
+                            jnp.zeros((sub, v_pad), dtype) for _ in dss
+                        ),
+                    )
+                dsvs = [_prefix_add(dsv, a) for dsv, a in zip(dsvs, adds)]
+            else:
+                def image_dsv(dsvs):
+                    ids2d = _image_ids_2d(i_pos, j_pos, geo)
+                    imf = ((i_pos < img_len) & (j_pos < img_len)).astype(dtype)
+                    ds_is = [ds * imf for ds in dss]
+                    out = list(dsvs)
+                    for vid in range(nvid):
+                        mf = (ids2d == vid).astype(dtype)
+                        for hh, ds_i in enumerate(ds_is):
+                            out[hh] = out[hh] + col(
+                                vid, jnp.sum(ds_i * mf, axis=1)
+                            )
+                    return tuple(out)
+
+                dsvs = jax.lax.cond(
+                    meta_ref[2, t] == 1, image_dsv, lambda x: tuple(x),
+                    tuple(dsvs),
+                )
 
             if geo.text_part_id < rel_vocab:
                 mf = ((i_pos < img_len) & (j_pos >= img_len)).astype(dtype)
@@ -588,6 +749,8 @@ def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
                 )
         return tuple(dsvs)
 
+    if uncond:
+        return general_dsv()
     return jax.lax.cond(meta_ref[3, t] == 2, general_dsv, far_dsv)
 
 

@@ -126,6 +126,8 @@ def test_bf16_close():
     {"MMT_ATTN_SLIM_STATS": "0"},
     {"MMT_ATTN_PRESCALE": "0"},
     {"MMT_ATTN_BIAS": "mul2"},
+    {"MMT_ATTN_IMGSUB": "mul"},
+    {"MMT_ATTN_IMGSUB": "cond"},
     {"MMT_ATTN_BAND": "wide", "MMT_ATTN_LENMASK": "cond",
      "MMT_ATTN_SLIM_STATS": "0"},
 ])
@@ -152,6 +154,9 @@ def test_kernel_variant_flags_parity(monkeypatch, flags):
     {},
     {"MMT_ATTN_BAND": "wide", "MMT_ATTN_LENMASK": "cond"},
     {"MMT_ATTN_PRESCALE": "0"},
+    {"MMT_ATTN_DSV_SCHED": "uncond"},
+    {"MMT_ATTN_IMGSUB": "mul"},
+    {"MMT_ATTN_IMGSUB": "cond"},
 ])
 def test_kernel_variant_flags_gradients(monkeypatch, flags):
     """Backward parity under the variant flags that reach the backward
@@ -177,6 +182,50 @@ def test_kernel_variant_flags_gradients(monkeypatch, flags):
     def loss_pallas(q, k, v, table):
         out = pallas_relative_attention(
             q, k, v, table, geo, lengths, block_q=128, block_k=128,
+            interpret=True,
+        )
+        return jnp.sum((out * m) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for name, a, b in zip("qkvt", g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
+
+
+@pytest.mark.parametrize("mode", ["mul", "cond"])
+def test_image_subtile_forward(monkeypatch, mode):
+    """Image-id work on a [128, 128] subtile of [256, 256] tiles
+    (sub < tile: the operand-shrunk path, not the degenerate sub == tile
+    case the other tests hit)."""
+    monkeypatch.setenv("MMT_ATTN_IMGSUB", mode)
+    geo = RelGeometry(text_max_distance=12, num_patch_per_row=8,
+                      num_core_layers=1)
+    _check(geo, B=2, S=512, H=2, D=64, V=49, lengths=[512, 300], block=256)
+
+
+@pytest.mark.parametrize("mode", ["mul", "cond"])
+def test_image_subtile_gradients(monkeypatch, mode):
+    """Backward parity through the subtile image-dsv path (sub < tile)."""
+    monkeypatch.setenv("MMT_ATTN_IMGSUB", mode)
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=8,
+                      num_core_layers=1)
+    B, S, H, D, V = 1, 512, 2, 64, 85
+    assert geo.image_part_id < V  # cross-part bias also in play
+    q, k, v, table = _rand_inputs(B, S, H, D, V)
+    lengths = jnp.asarray([420], jnp.int32)
+    ids = _ids_for(geo, S)
+    m = jnp.asarray(_real_mask(lengths, S))
+
+    def loss_ref(q, k, v, table):
+        out = dense_reference(q, k, v, table, ids, lengths)
+        return jnp.sum((out * m) ** 2)
+
+    def loss_pallas(q, k, v, table):
+        out = pallas_relative_attention(
+            q, k, v, table, geo, lengths, block_q=256, block_k=256,
             interpret=True,
         )
         return jnp.sum((out * m) ** 2)
