@@ -180,6 +180,44 @@ class MmtEncoder(nn.Module):
         path only: MPP masking zeroes patch embeddings on host, so the
         pretrain loader keeps shipping patch tensors.
         """
+        emb, att_mask, relative_att_ids = self.transformer_inputs(
+            word_ids,
+            segment_ids=segment_ids,
+            att_mask=att_mask,
+            relative_att_ids=relative_att_ids,
+            patch_embeddings=patch_embeddings,
+            lengths=lengths,
+            images=images,
+            deterministic=deterministic,
+        )
+        x = self.transformer(emb, att_mask, relative_att_ids, deterministic, lengths)
+        x = x.astype(jnp.float32)
+
+        outputs = {"sequence_output": x}
+        if self.config.use_pooler_layer:
+            outputs["pooled_output"] = jnp.tanh(
+                self.pooler(x[:, 0]).astype(jnp.float32)
+            )
+        return outputs
+
+    def transformer_inputs(
+        self,
+        word_ids: jnp.ndarray,
+        segment_ids: Optional[jnp.ndarray] = None,
+        att_mask: Optional[jnp.ndarray] = None,
+        relative_att_ids: Optional[jnp.ndarray] = None,
+        patch_embeddings: Optional[jnp.ndarray] = None,
+        lengths: Optional[jnp.ndarray] = None,
+        images: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Everything before the layer stack: embedding assembly plus
+        side-input derivation.  Returns ``(embeddings, att_mask,
+        relative_att_ids)`` -- exactly what ``__call__`` feeds
+        ``self.transformer``.  Exposed as a separate method (usable via
+        ``apply(..., method="transformer_inputs")``) so alternative layer
+        schedulers -- e.g. ``mmt_tpu.parallel.pipeline`` -- can run the
+        stack themselves."""
         cfg = self.config
         batch, seq_len = word_ids.shape
         if patch_embeddings is None and images is not None:
@@ -243,16 +281,4 @@ class MmtEncoder(nn.Module):
             )
             embeddings = embeddings + projected
 
-        x = self.transformer(
-            embeddings.astype(self._dtype),
-            att_mask,
-            relative_att_ids,
-            deterministic,
-            lengths,
-        )
-        x = x.astype(jnp.float32)
-
-        outputs = {"sequence_output": x}
-        if cfg.use_pooler_layer:
-            outputs["pooled_output"] = jnp.tanh(self.pooler(x[:, 0]).astype(jnp.float32))
-        return outputs
+        return embeddings.astype(self._dtype), att_mask, relative_att_ids

@@ -6,3 +6,9 @@ from mmt_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from mmt_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_layers,
+    pipelined_encoder_sequence_output,
+    stack_layer_params,
+    unstack_layer_params,
+)
