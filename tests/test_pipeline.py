@@ -87,6 +87,38 @@ def test_pipeline_forward_post_activation_order():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_pipeline_bf16_pre_activation():
+    """Flagship dtype: bf16 compute, pre-activation order -- the carry
+    stays bf16 through every stage and matches the unrolled stack."""
+    enc, params, inputs = _build(compute_dtype="bfloat16")
+    want = np.asarray(enc.apply(params, **inputs)["sequence_output"])
+    mesh = _mesh(2, 4)
+    got = np.asarray(
+        pipelined_encoder_sequence_output(
+            enc, params, inputs, mesh=mesh, num_micro=2
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_pipeline_with_fused_attention_kernel():
+    """Pipeline x fused Pallas attention (interpret mode): each stage
+    runs the fused kernel on its full-sequence microbatch."""
+    enc, params, inputs = _build(
+        attention_impl="pallas_interpret",
+        attention_block_q=8,
+        attention_block_k=8,
+    )
+    want = np.asarray(enc.apply(params, **inputs)["sequence_output"])
+    mesh = _mesh(2, 4)
+    got = np.asarray(
+        pipelined_encoder_sequence_output(
+            enc, params, inputs, mesh=mesh, num_micro=2
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_gradients_match():
     enc, params, inputs = _build()
     mesh = _mesh(2, 4)
