@@ -91,8 +91,32 @@ class MmtPretrainingModel(nn.Module):
             lengths=lengths,
             deterministic=deterministic,
         )
-        sequence_output = outputs["sequence_output"]
+        outputs.update(
+            self.head_outputs(
+                outputs["sequence_output"],
+                mlm_positions=mlm_positions,
+                mpp_positions=mpp_positions,
+                deterministic=deterministic,
+            )
+        )
+        return outputs
 
+    def encoder_inputs(self, *args, **kwargs):
+        """Delegates ``MmtEncoder.transformer_inputs`` (embeddings +
+        derived side inputs) for external layer schedulers such as
+        ``mmt_tpu.parallel.pipeline``."""
+        return self.encoder.transformer_inputs(*args, **kwargs)
+
+    def head_outputs(
+        self,
+        sequence_output,
+        mlm_positions=None,
+        mpp_positions=None,
+        deterministic: bool = True,
+    ):
+        """Everything after the encoder: MLM/MPP/classification heads
+        over a ready [B, S, H] fp32 sequence output."""
+        outputs = {"sequence_output": sequence_output}
         if self.config.bind_word_embedding_table:
             table = self.encoder.word_embeddings.variables["params"][
                 "embedding_table"

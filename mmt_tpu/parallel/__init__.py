@@ -7,6 +7,7 @@ from mmt_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from mmt_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_encoder_stack,
     pipeline_layers,
     pipelined_encoder_sequence_output,
     stack_layer_params,

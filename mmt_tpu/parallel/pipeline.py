@@ -255,18 +255,53 @@ def pipelined_encoder_sequence_output(
         images=batch.get("images"),
         method="transformer_inputs",
     )
-    cfg = encoder.config
+    return pipeline_encoder_stack(
+        encoder.config,
+        encoder.num_patch_per_row,
+        variables["params"],
+        emb,
+        att_mask,
+        relative_att_ids,
+        batch.get("lengths"),
+        mesh=mesh,
+        num_micro=num_micro,
+        axis=axis,
+        data_axis=data_axis,
+        remat=remat,
+    )
+
+
+def pipeline_encoder_stack(
+    cfg,
+    num_patch_per_row: int,
+    encoder_params,
+    emb,
+    att_mask,
+    relative_att_ids,
+    lengths,
+    *,
+    mesh: Mesh,
+    num_micro: int,
+    axis: str = "pipe",
+    data_axis: str = "data",
+    remat: bool = False,
+):
+    """Pipelines the ``layer_{i}`` stack over ready transformer inputs.
+
+    ``encoder_params`` is the encoder's param subtree (the dict holding
+    ``transformer``); returns the fp32 [B, S, H] sequence output.
+    """
     stacked = stack_layer_params(
-        variables["params"]["transformer"], cfg.num_hidden_layers
+        encoder_params["transformer"], cfg.num_hidden_layers
     )
     side_micro: Dict[str, Any] = {}
     side_shared: Dict[str, Any] = {}
-    if batch.get("lengths") is not None:
-        side_micro["lengths"] = microbatch(batch["lengths"], num_micro)
+    if lengths is not None:
+        side_micro["lengths"] = microbatch(lengths, num_micro)
     if att_mask is not None:
         side_micro["att_mask"] = microbatch(att_mask, num_micro)
     if relative_att_ids is not None:
-        batch_size = batch["word_ids"].shape[0]
+        batch_size = emb.shape[0]
         if relative_att_ids.ndim == 3 and relative_att_ids.shape[0] == batch_size:
             side_micro["relative_att_ids"] = microbatch(
                 relative_att_ids, num_micro
@@ -275,7 +310,7 @@ def pipelined_encoder_sequence_output(
             # [S, S] or [1, S, S]: one id map shared by the whole batch.
             side_shared["relative_att_ids"] = relative_att_ids
     out = pipeline_layers(
-        make_encoder_layer_apply(cfg, encoder.num_patch_per_row),
+        make_encoder_layer_apply(cfg, num_patch_per_row),
         stacked,
         microbatch(emb, num_micro),
         side_micro,

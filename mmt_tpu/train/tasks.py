@@ -77,17 +77,23 @@ class PretrainingTask:
                                mpp_positions=batch.get("mpp_positions"))
 
     def compute_loss(
-        self, params, batch, dropout_rng=None, deterministic: bool = False
+        self, params, batch, dropout_rng=None, deterministic: bool = False,
+        pipeline=None,
     ) -> Tuple[jnp.ndarray, Tuple[Dict, Dict]]:
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
-        outputs = self.model.apply(
-            params,
-            **_model_inputs(batch),
-            mlm_positions=batch.get("mlm_positions"),
-            mpp_positions=batch.get("mpp_positions"),
-            deterministic=deterministic,
-            rngs=rngs,
-        )
+        if pipeline is None:
+            outputs = self.model.apply(
+                params,
+                **_model_inputs(batch),
+                mlm_positions=batch.get("mlm_positions"),
+                mpp_positions=batch.get("mpp_positions"),
+                deterministic=deterministic,
+                rngs=rngs,
+            )
+        else:
+            outputs = self._pipelined_outputs(
+                params, batch, rngs, deterministic, pipeline
+            )
 
         has_itm = "itm_label_weights" in batch and any(
             h.name == "itm" for h in self.config.model.cls_heads
@@ -120,6 +126,92 @@ class PretrainingTask:
 
         metrics.update(self._accuracy_updates(batch, outputs, mlm_w, mpp_w))
         return total, (outputs, metrics)
+
+    def _pipelined_outputs(self, params, batch, rngs, deterministic, pipeline):
+        """Model outputs with the encoder layer stack pipelined over the
+        'pipe' mesh axis (``mmt_tpu.parallel.pipeline``).
+
+        The pipelined stack applies layers deterministically (the GPipe
+        scan has no per-layer flax rng plumbing), so training through it
+        requires dropout-free hidden layers; the head dropout still
+        follows ``deterministic``/``rngs``.
+        """
+        from mmt_tpu.parallel.pipeline import pipeline_encoder_stack
+
+        mesh, num_micro, remat = pipeline
+        enc_cfg = self.config.model.encoder.get()
+        if not deterministic and (
+            enc_cfg.hidden_dropout_prob or enc_cfg.attention_probs_dropout_prob
+        ):
+            raise ValueError(
+                "Pipelined training requires dropout-free encoder layers "
+                "(hidden_dropout_prob=0, attention_probs_dropout_prob=0); "
+                "got "
+                f"{enc_cfg.hidden_dropout_prob}/{enc_cfg.attention_probs_dropout_prob}."
+            )
+        inputs = _model_inputs(batch)
+        emb, att_mask, rel_ids = self.model.apply(
+            params,
+            inputs["word_ids"],
+            segment_ids=inputs.get("segment_ids"),
+            att_mask=inputs.get("att_mask"),
+            relative_att_ids=inputs.get("relative_att_ids"),
+            patch_embeddings=inputs.get("patch_embeddings"),
+            lengths=inputs.get("lengths"),
+            images=inputs.get("images"),
+            deterministic=True,
+            method="encoder_inputs",
+        )
+        seq_out = pipeline_encoder_stack(
+            enc_cfg,
+            self.model.num_patch_per_row,
+            params["params"]["encoder"],
+            emb,
+            att_mask,
+            rel_ids,
+            inputs.get("lengths"),
+            mesh=mesh,
+            num_micro=num_micro,
+            remat=remat,
+        )
+        return self.model.apply(
+            params,
+            seq_out,
+            mlm_positions=batch.get("mlm_positions"),
+            mpp_positions=batch.get("mpp_positions"),
+            deterministic=deterministic,
+            rngs=rngs,
+            method="head_outputs",
+        )
+
+    def make_pipelined_train_step(
+        self, mesh: Mesh, num_micro: int, remat: bool = True
+    ):
+        """Jitted (state, batch, rng) -> (state, metrics) with the layer
+        stack GPipe-pipelined over the mesh's 'pipe' axis (composes with
+        'data'); gradients flow through the pipeline into the optimizer
+        update.  Dropout-free configs only (see ``_pipelined_outputs``).
+        """
+        if "pipe" not in mesh.axis_names:
+            raise ValueError(f"mesh {mesh.axis_names} has no 'pipe' axis")
+        pipeline = (mesh, num_micro, remat)
+
+        def step(state: TrainState, batch, rng):
+            def loss_fn(p):
+                loss, (_, metrics) = self.compute_loss(
+                    p, batch, rng, False, pipeline=pipeline
+                )
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads)
+            metrics = dict(metrics)
+            metrics["total_loss"] = (loss, 1.0)
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
 
     def _accuracy_updates(self, batch, outputs, mlm_w, mpp_w):
         upd = {}

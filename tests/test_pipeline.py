@@ -173,6 +173,63 @@ def test_pipeline_remat_matches():
     )
 
 
+def test_pipelined_pretrain_step_matches_plain():
+    """Full pretraining train step (MLM+MPP+ITM, AdamW) through the
+    pipeline == the plain step: same loss, same updated params."""
+    from tests.test_train import make_pretrain_task, pretrain_batch
+    from mmt_tpu.configs import OptimizationConfig
+    from mmt_tpu.train.optimizer import create_optimizer
+    from mmt_tpu.train.train_state import TrainState
+    from mmt_tpu.parallel import shard_batch
+
+    task = make_pretrain_task(num_hidden_layers=4)
+    batch = pretrain_batch()
+    params = task.init(jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(OptimizationConfig(), train_steps=100)
+    s_plain = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    s_pipe = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    rng = jax.random.PRNGKey(1)
+
+    plain = task.make_train_step()
+    s_plain, m_plain = plain(s_plain, batch, rng)
+
+    mesh = _mesh(2, 4)
+    with mesh:
+        piped = task.make_pipelined_train_step(mesh, num_micro=2)
+        s_pipe, m_pipe = piped(s_pipe, shard_batch(mesh, batch), rng)
+
+    np.testing.assert_allclose(
+        float(m_pipe["total_loss"][0]),
+        float(m_plain["total_loss"][0]),
+        rtol=1e-5,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        s_pipe.params,
+        s_plain.params,
+    )
+
+
+def test_pipelined_step_rejects_dropout():
+    from tests.test_train import make_pretrain_task, pretrain_batch
+    from mmt_tpu.configs import OptimizationConfig
+    from mmt_tpu.train.optimizer import create_optimizer
+    from mmt_tpu.train.train_state import TrainState
+
+    task = make_pretrain_task(num_hidden_layers=4, hidden_dropout_prob=0.1)
+    batch = pretrain_batch()
+    params = task.init(jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(OptimizationConfig(), train_steps=100)
+    state = TrainState.create(params, tx)
+    mesh = _mesh(2, 4)
+    with pytest.raises(ValueError, match="dropout-free"):
+        task.make_pipelined_train_step(mesh, num_micro=2)(
+            state, batch, jax.random.PRNGKey(1)
+        )
+
+
 def test_pipeline_layers_rejects_indivisible_stages():
     enc, params, inputs = _build(num_layers=3)
     mesh = _mesh(1, 4)

@@ -62,11 +62,11 @@ def pretrain_batch(B=8, S=12, N=4, rng=None):
     }
 
 
-def make_pretrain_task():
+def make_pretrain_task(**encoder_kw):
     data = MmtPretrainDataConfig(image_size=32, patch_size=16, max_seq_len=12)
     cfg = PretrainingTaskConfig(
         model=PretrainModelConfig(
-            encoder=EncoderConfig(mmt=tiny_encoder()),
+            encoder=EncoderConfig(mmt=tiny_encoder(**encoder_kw)),
             cls_heads=[ClsHeadConfig(inner_dim=32, num_classes=2, name="itm")],
         ),
         train_data=data,
