@@ -147,12 +147,36 @@ def main(argv=None):
         with open(os.path.join(args.model_dir, "params.yaml"), "w") as f:
             yaml.safe_dump(to_dict(cfg), f)
 
-    mesh = create_mesh(
-        num_data=cfg.runtime.num_data_parallel, num_model=cfg.runtime.num_model_parallel
-    )
+    num_pipe = cfg.runtime.num_pipeline_stages
+    if num_pipe > 1:
+        if cfg.runtime.num_model_parallel > 1:
+            raise ValueError(
+                "num_pipeline_stages > 1 is mutually exclusive with "
+                "num_model_parallel > 1"
+            )
+        from jax.sharding import Mesh
+        import numpy as _np
+
+        n_dev = len(jax.devices())
+        n_data = cfg.runtime.num_data_parallel or n_dev // num_pipe
+        mesh = Mesh(
+            _np.asarray(jax.devices()[: n_data * num_pipe]).reshape(
+                n_data, num_pipe
+            ),
+            ("data", "pipe"),
+        )
+    else:
+        mesh = create_mesh(
+            num_data=cfg.runtime.num_data_parallel,
+            num_model=cfg.runtime.num_model_parallel,
+        )
     logging.info("mesh: %s over %d devices", mesh.axis_names, mesh.devices.size)
 
     is_pretraining = isinstance(cfg.task, PretrainingTaskConfig)
+    if num_pipe > 1 and not is_pretraining:
+        raise ValueError(
+            "num_pipeline_stages > 1 is only supported for mmt/pretraining"
+        )
     data_cfg = cfg.task.train_data
     # Multi-host: each process loads and feeds global/process_count
     # examples (the reference's per-replica batch derivation,
@@ -179,10 +203,18 @@ def main(argv=None):
                 base_shard=jax.process_index(),
                 total_shards=jax.process_count(),
             )
-        train_step = task.make_train_step(
-            mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size,
-            grad_accum_dtype=cfg.trainer.grad_accum_dtype,
-        )
+        if num_pipe > 1:
+            num_micro = cfg.runtime.num_pipeline_microbatches or max(
+                1,
+                cfg.task.train_data.global_batch_size
+                // max(cfg.trainer.micro_batch_size, 1),
+            )
+            train_step = task.make_pipelined_train_step(mesh, num_micro)
+        else:
+            train_step = task.make_train_step(
+                mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size,
+                grad_accum_dtype=cfg.trainer.grad_accum_dtype,
+            )
     else:
         assert isinstance(cfg.task, ClassificationTaskConfig)
         task = ClassificationTask(cfg.task, cfg.trainer)

@@ -35,6 +35,12 @@ class RuntimeConfig(Config):
     num_data_parallel: int = 0
     # Optional second mesh axis for param/sequence sharding (unused by DP).
     num_model_parallel: int = 1
+    # GPipe pipeline stages over a 'pipe' mesh axis (pretraining only,
+    # dropout-free encoder configs; mutually exclusive with
+    # num_model_parallel > 1).  num_pipeline_microbatches defaults to
+    # the gradient-accumulation count (micro_batch_size).
+    num_pipeline_stages: int = 1
+    num_pipeline_microbatches: int = 0
     mixed_precision_dtype: str = "bfloat16"
     enable_xla: bool = True  # informational; jax is always XLA
 
