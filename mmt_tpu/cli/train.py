@@ -173,10 +173,6 @@ def main(argv=None):
     logging.info("mesh: %s over %d devices", mesh.axis_names, mesh.devices.size)
 
     is_pretraining = isinstance(cfg.task, PretrainingTaskConfig)
-    if num_pipe > 1 and not is_pretraining:
-        raise ValueError(
-            "num_pipeline_stages > 1 is only supported for mmt/pretraining"
-        )
     data_cfg = cfg.task.train_data
     # Multi-host: each process loads and feeds global/process_count
     # examples (the reference's per-replica batch derivation,
@@ -228,7 +224,11 @@ def main(argv=None):
             base_shard=jax.process_index(),
             total_shards=jax.process_count(),
         )
-        train_step = task.make_train_step(mesh=mesh)
+        if num_pipe > 1:
+            num_micro = cfg.runtime.num_pipeline_microbatches or 2
+            train_step = task.make_pipelined_train_step(mesh, num_micro)
+        else:
+            train_step = task.make_train_step(mesh=mesh)
 
     train_iter = iter(batches)
     first = next(train_iter)

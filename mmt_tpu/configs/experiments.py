@@ -35,10 +35,10 @@ class RuntimeConfig(Config):
     num_data_parallel: int = 0
     # Optional second mesh axis for param/sequence sharding (unused by DP).
     num_model_parallel: int = 1
-    # GPipe pipeline stages over a 'pipe' mesh axis (pretraining only,
-    # dropout-free encoder configs; mutually exclusive with
-    # num_model_parallel > 1).  num_pipeline_microbatches defaults to
-    # the gradient-accumulation count (micro_batch_size).
+    # GPipe pipeline stages over a 'pipe' mesh axis (dropout-free
+    # encoder configs; mutually exclusive with num_model_parallel > 1).
+    # num_pipeline_microbatches defaults to the gradient-accumulation
+    # count (micro_batch_size) for pretraining, 2 for classification.
     num_pipeline_stages: int = 1
     num_pipeline_microbatches: int = 0
     mixed_precision_dtype: str = "bfloat16"

@@ -64,8 +64,23 @@ class MmtClassificationModel(nn.Module):
             images=images,
             deterministic=deterministic,
         )
+        outputs.update(
+            self.head_outputs(
+                outputs["sequence_output"], deterministic=deterministic
+            )
+        )
+        return outputs
+
+    def encoder_inputs(self, *args, **kwargs):
+        """Delegates ``MmtEncoder.transformer_inputs`` for external layer
+        schedulers (``mmt_tpu.parallel.pipeline``)."""
+        return self.encoder.transformer_inputs(*args, **kwargs)
+
+    def head_outputs(self, sequence_output, deterministic: bool = True):
+        """Classification heads over a ready [B, S, H] sequence output."""
+        outputs = {"sequence_output": sequence_output}
         for head_cfg, head in zip(self.config.cls_heads, self.cls_heads):
             outputs[f"{head_cfg.name}_logits"] = head(
-                outputs["sequence_output"], deterministic=deterministic
+                sequence_output, deterministic=deterministic
             )
         return outputs

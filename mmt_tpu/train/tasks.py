@@ -58,6 +58,77 @@ def _batch_sharding_constraint(tree, mesh: Optional[Mesh]):
     )
 
 
+def _pipelined_sequence_output(model, enc_cfg, params, batch, deterministic,
+                               pipeline):
+    """fp32 [B, S, H] sequence output with the encoder stack pipelined
+    over the 'pipe' mesh axis (``mmt_tpu.parallel.pipeline``).
+
+    The pipelined stack applies layers deterministically (the GPipe scan
+    has no per-layer flax rng plumbing), so training through it requires
+    dropout-free encoder layers; head dropout still follows the caller's
+    ``deterministic``/rngs.
+    """
+    from mmt_tpu.parallel.pipeline import pipeline_encoder_stack
+
+    mesh, num_micro, remat = pipeline
+    if not deterministic and (
+        enc_cfg.hidden_dropout_prob or enc_cfg.attention_probs_dropout_prob
+    ):
+        raise ValueError(
+            "Pipelined training requires dropout-free encoder layers "
+            "(hidden_dropout_prob=0, attention_probs_dropout_prob=0); got "
+            f"{enc_cfg.hidden_dropout_prob}/{enc_cfg.attention_probs_dropout_prob}."
+        )
+    inputs = _model_inputs(batch)
+    emb, att_mask, rel_ids = model.apply(
+        params,
+        inputs["word_ids"],
+        segment_ids=inputs.get("segment_ids"),
+        att_mask=inputs.get("att_mask"),
+        relative_att_ids=inputs.get("relative_att_ids"),
+        patch_embeddings=inputs.get("patch_embeddings"),
+        lengths=inputs.get("lengths"),
+        images=inputs.get("images"),
+        deterministic=True,
+        method="encoder_inputs",
+    )
+    return pipeline_encoder_stack(
+        enc_cfg,
+        model.num_patch_per_row,
+        params["params"]["encoder"],
+        emb,
+        att_mask,
+        rel_ids,
+        inputs.get("lengths"),
+        mesh=mesh,
+        num_micro=num_micro,
+        remat=remat,
+    )
+
+
+def _make_pipelined_step(task, mesh: Mesh, num_micro: int, remat: bool):
+    if "pipe" not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no 'pipe' axis")
+    pipeline = (mesh, num_micro, remat)
+
+    def step(state: TrainState, batch, rng):
+        def loss_fn(p):
+            loss, (_, metrics) = task.compute_loss(
+                p, batch, rng, False, pipeline=pipeline
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+        metrics = dict(metrics)
+        metrics["total_loss"] = (loss, 1.0)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 class PretrainingTask:
     """MLM + MPP (+ ITM) pretraining."""
 
@@ -128,51 +199,11 @@ class PretrainingTask:
         return total, (outputs, metrics)
 
     def _pipelined_outputs(self, params, batch, rngs, deterministic, pipeline):
-        """Model outputs with the encoder layer stack pipelined over the
-        'pipe' mesh axis (``mmt_tpu.parallel.pipeline``).
-
-        The pipelined stack applies layers deterministically (the GPipe
-        scan has no per-layer flax rng plumbing), so training through it
-        requires dropout-free hidden layers; the head dropout still
-        follows ``deterministic``/``rngs``.
-        """
-        from mmt_tpu.parallel.pipeline import pipeline_encoder_stack
-
-        mesh, num_micro, remat = pipeline
-        enc_cfg = self.config.model.encoder.get()
-        if not deterministic and (
-            enc_cfg.hidden_dropout_prob or enc_cfg.attention_probs_dropout_prob
-        ):
-            raise ValueError(
-                "Pipelined training requires dropout-free encoder layers "
-                "(hidden_dropout_prob=0, attention_probs_dropout_prob=0); "
-                "got "
-                f"{enc_cfg.hidden_dropout_prob}/{enc_cfg.attention_probs_dropout_prob}."
-            )
-        inputs = _model_inputs(batch)
-        emb, att_mask, rel_ids = self.model.apply(
-            params,
-            inputs["word_ids"],
-            segment_ids=inputs.get("segment_ids"),
-            att_mask=inputs.get("att_mask"),
-            relative_att_ids=inputs.get("relative_att_ids"),
-            patch_embeddings=inputs.get("patch_embeddings"),
-            lengths=inputs.get("lengths"),
-            images=inputs.get("images"),
-            deterministic=True,
-            method="encoder_inputs",
-        )
-        seq_out = pipeline_encoder_stack(
-            enc_cfg,
-            self.model.num_patch_per_row,
-            params["params"]["encoder"],
-            emb,
-            att_mask,
-            rel_ids,
-            inputs.get("lengths"),
-            mesh=mesh,
-            num_micro=num_micro,
-            remat=remat,
+        """Model outputs with the encoder layer stack pipelined (see
+        ``_pipelined_sequence_output``); MLM/MPP/cls heads run on top."""
+        seq_out = _pipelined_sequence_output(
+            self.model, self.config.model.encoder.get(), params, batch,
+            deterministic, pipeline,
         )
         return self.model.apply(
             params,
@@ -190,28 +221,10 @@ class PretrainingTask:
         """Jitted (state, batch, rng) -> (state, metrics) with the layer
         stack GPipe-pipelined over the mesh's 'pipe' axis (composes with
         'data'); gradients flow through the pipeline into the optimizer
-        update.  Dropout-free configs only (see ``_pipelined_outputs``).
+        update.  Dropout-free configs only (see
+        ``_pipelined_sequence_output``).
         """
-        if "pipe" not in mesh.axis_names:
-            raise ValueError(f"mesh {mesh.axis_names} has no 'pipe' axis")
-        pipeline = (mesh, num_micro, remat)
-
-        def step(state: TrainState, batch, rng):
-            def loss_fn(p):
-                loss, (_, metrics) = self.compute_loss(
-                    p, batch, rng, False, pipeline=pipeline
-                )
-                return loss, metrics
-
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            new_state = state.apply_gradients(grads)
-            metrics = dict(metrics)
-            metrics["total_loss"] = (loss, 1.0)
-            return new_state, metrics
-
-        return jax.jit(step, donate_argnums=(0,))
+        return _make_pipelined_step(self, mesh, num_micro, remat)
 
     def _accuracy_updates(self, batch, outputs, mlm_w, mpp_w):
         upd = {}
@@ -321,11 +334,23 @@ class ClassificationTask:
     def init(self, rng, batch):
         return self.model.init(rng, **_model_inputs(batch), deterministic=True)
 
-    def compute_loss(self, params, batch, dropout_rng=None, deterministic=False):
+    def compute_loss(self, params, batch, dropout_rng=None, deterministic=False,
+                     pipeline=None):
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
-        outputs = self.model.apply(
-            params, **_model_inputs(batch), deterministic=deterministic, rngs=rngs
-        )
+        if pipeline is None:
+            outputs = self.model.apply(
+                params, **_model_inputs(batch), deterministic=deterministic,
+                rngs=rngs,
+            )
+        else:
+            seq_out = _pipelined_sequence_output(
+                self.model, self.config.model.encoder.get(), params, batch,
+                deterministic, pipeline,
+            )
+            outputs = self.model.apply(
+                params, seq_out, deterministic=deterministic, rngs=rngs,
+                method="head_outputs",
+            )
         logits = outputs[self.logits_key]
         labels = batch["label_ids"]
         weights = batch["label_weights"]
@@ -366,6 +391,13 @@ class ClassificationTask:
             return new_state, metrics
 
         return jax.jit(step, donate_argnums=(0,))
+
+    def make_pipelined_train_step(
+        self, mesh: Mesh, num_micro: int, remat: bool = True
+    ):
+        """Finetune step with the encoder stack GPipe-pipelined over the
+        mesh's 'pipe' axis (dropout-free encoder configs)."""
+        return _make_pipelined_step(self, mesh, num_micro, remat)
 
     def make_eval_step(self, mesh: Optional[Mesh] = None):
         def step(params, batch):

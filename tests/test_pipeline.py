@@ -212,6 +212,42 @@ def test_pipelined_pretrain_step_matches_plain():
     )
 
 
+def test_pipelined_classification_step_matches_plain():
+    """Finetune (ITM classification) step through the pipeline == plain."""
+    from tests.test_train import make_classification_task, classification_batch
+    from mmt_tpu.configs import OptimizationConfig
+    from mmt_tpu.train.optimizer import create_optimizer
+    from mmt_tpu.train.train_state import TrainState
+    from mmt_tpu.parallel import shard_batch
+
+    task = make_classification_task(num_hidden_layers=4)
+    batch = classification_batch()
+    params = task.init(jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(OptimizationConfig(), train_steps=100)
+    s_plain = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    s_pipe = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    rng = jax.random.PRNGKey(1)
+
+    s_plain, m_plain = task.make_train_step()(s_plain, batch, rng)
+    mesh = _mesh(2, 4)
+    with mesh:
+        s_pipe, m_pipe = task.make_pipelined_train_step(mesh, num_micro=2)(
+            s_pipe, shard_batch(mesh, batch), rng
+        )
+    np.testing.assert_allclose(
+        float(m_pipe["total_loss"][0]),
+        float(m_plain["total_loss"][0]),
+        rtol=1e-5,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        s_pipe.params,
+        s_plain.params,
+    )
+
+
 def test_pipelined_step_rejects_dropout():
     from tests.test_train import make_pretrain_task, pretrain_batch
     from mmt_tpu.configs import OptimizationConfig

@@ -202,31 +202,39 @@ class TestPretrainingTask:
         assert float(metrics["itm_loss"][0]) > 0.0
 
 
+def make_classification_task(**encoder_kw):
+    data = MmtClassificationDataConfig(image_size=32, patch_size=16, max_seq_len=12)
+    cfg = ClassificationTaskConfig(
+        model=ClassificationModelConfig(
+            encoder=EncoderConfig(mmt=tiny_encoder(**encoder_kw)),
+            num_classes=2,
+            cls_heads=[ClsHeadConfig(inner_dim=32, num_classes=2, name="itm")],
+        ),
+        train_data=data,
+    )
+    return ClassificationTask(cfg, TrainerConfig(train_steps=50))
+
+
+def classification_batch(B=8):
+    rng = np.random.default_rng(1)
+    base = pretrain_batch(B=B, rng=rng)
+    return {
+        "word_ids": base["word_ids"],
+        "segment_ids": base["segment_ids"],
+        "patch_embeddings": base["patch_embeddings"],
+        "lengths": base["lengths"],
+        "label_ids": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
+        "label_weights": jnp.ones((B,), jnp.float32),
+        "pos_weights": jnp.ones((B,), jnp.float32),
+    }
+
+
 class TestClassificationTask:
     def _task(self):
-        data = MmtClassificationDataConfig(image_size=32, patch_size=16, max_seq_len=12)
-        cfg = ClassificationTaskConfig(
-            model=ClassificationModelConfig(
-                encoder=EncoderConfig(mmt=tiny_encoder()),
-                num_classes=2,
-                cls_heads=[ClsHeadConfig(inner_dim=32, num_classes=2, name="itm")],
-            ),
-            train_data=data,
-        )
-        return ClassificationTask(cfg, TrainerConfig(train_steps=50))
+        return make_classification_task()
 
     def _batch(self, B=8):
-        rng = np.random.default_rng(1)
-        base = pretrain_batch(B=B, rng=rng)
-        return {
-            "word_ids": base["word_ids"],
-            "segment_ids": base["segment_ids"],
-            "patch_embeddings": base["patch_embeddings"],
-            "lengths": base["lengths"],
-            "label_ids": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
-            "label_weights": jnp.ones((B,), jnp.float32),
-            "pos_weights": jnp.ones((B,), jnp.float32),
-        }
+        return classification_batch(B=B)
 
     def test_train_and_eval(self):
         task = self._task()
