@@ -65,6 +65,10 @@ class TrainerConfig(Config):
     # Per-replica micro-batch for gradient accumulation in pretraining
     # (reference BATCH_SIZE_PER_REPLICA=64, src/tasks/pretraining.py:37-39).
     micro_batch_size: int = 64
+    # Orbax saves run in a background thread, overlapping checkpoint
+    # serialization/IO with the next training window (the loop waits
+    # before returning so the final checkpoint is always durable).
+    async_checkpointing: bool = True
     # Accumulator dtype for the scanned gradient sum: "float32" (exact,
     # a params-sized fp32 buffer) or "bfloat16" (halves the accumulator
     # HBM -- headroom for longer sequences / bigger micro-batches; the

@@ -26,8 +26,16 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 32):
+    def __init__(self, directory: str, max_to_keep: int = 32,
+                 async_save: bool = False):
+        """``async_save=True`` lets Orbax serialize in a background
+        thread so the training loop resumes immediately (the save
+        overlaps the next steps_per_loop window); callers must
+        ``wait_until_finished()`` before process exit / reading the
+        checkpoint back.  Orbax itself barriers a new save on the
+        previous one, so back-to-back saves stay ordered."""
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -41,6 +49,10 @@ class CheckpointManager:
         if opt_state is not None:
             payload["opt_state"] = opt_state
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

@@ -71,7 +71,13 @@ def run_training(
       place_batch: device placement fn (e.g. ``shard_batch`` partial).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    ckpt = CheckpointManager(model_dir, max_to_keep=trainer.max_to_keep)
+    # Async saves overlap Orbax serialization/IO with the next training
+    # window; the wait before returning guarantees the final checkpoint
+    # is durable for the predict/eval flows that read it back.
+    ckpt = CheckpointManager(
+        model_dir, max_to_keep=trainer.max_to_keep,
+        async_save=trainer.async_checkpointing,
+    )
     writer = SummaryWriter(model_dir, "train")
     best = None
     if trainer.best_checkpoint_export_subdir and trainer.best_checkpoint_eval_metric:
@@ -136,4 +142,5 @@ def run_training(
             if best is not None:
                 best.maybe_export(step, eval_metrics, jax.device_get(state.params))
 
+    ckpt.wait_until_finished()
     return state
