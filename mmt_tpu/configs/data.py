@@ -69,10 +69,13 @@ class MmtDataConfig(Config):
     # /255 -> MEAN-normalize -> patch extraction INSIDE the XLA program
     # (fuses into the patch-projection matmul; 4x less host->device
     # traffic than [N, 3p^2] float patches and no host patch work).
-    # Inference/classification retrieval only (MPP masking zeroes patch
-    # embeddings on host); sources must already be image_size x
-    # image_size (the loader raises otherwise -- host resize would
-    # reorder the faithful normalize-then-resize float ops).
+    # Supported by all three loaders; pretraining additionally ships a
+    # [N] patch_mask and the MPP patch zeroing fuses on device (labels
+    # still derive on host from the selected uint8 patches only).
+    # Constraints: sources must already be image_size x image_size (the
+    # loader raises otherwise -- host resize would reorder the faithful
+    # normalize-then-resize float ops) and use_rand_aug must be off
+    # (RandAugment runs on host floats).
     ship_raw_images: bool = False
 
     @property

@@ -207,22 +207,34 @@ class ExampleAssembler:
         flip: bool = False,
         rand_aug_fn=None,
         extras: Optional[Dict] = None,
+        raw_u8: bool = False,
     ) -> AssembledExample:
         n = self.config.num_patches
         patch_token_ids = np.concatenate(
             [[self.cls_id, self.patch_id], self.patch_ids]
         ).astype(np.int32)
 
-        img = (
-            self.image_features(image_bytes, flip, rand_aug_fn)
-            if image_bytes is not None
-            else {
+        if image_bytes is not None and raw_u8:
+            # Device-side patch path (ship_raw_images): carry the uint8
+            # image; /255 + MEAN-normalize + patch extraction run inside
+            # the XLA program.  No host patch work at all.
+            if rand_aug_fn is not None:
+                raise ValueError(
+                    "ship_raw_images is incompatible with use_rand_aug "
+                    "(RandAugment runs on host float images)"
+                )
+            extras = dict(extras or {})
+            extras["raw_image"] = self.raw_image_u8(image_bytes, flip)
+            img = {"patch_embeddings": None, "unnormalized_patch_embeddings": None}
+        elif image_bytes is not None:
+            img = self.image_features(image_bytes, flip, rand_aug_fn)
+        else:
+            img = {
                 "patch_embeddings": np.zeros(
                     (n, 3 * self.config.patch_size**2), np.float32
                 ),
                 "unnormalized_patch_embeddings": None,
             }
-        )
         if text_fields is not None:
             words, selectable = self.text_features(text_fields)
             num_text = int(sum(len(w) for w in words))

@@ -177,7 +177,7 @@ class _BaseLoader:
             rand_aug_fn = lambda im: self._rand_augment(im, rng)  # noqa: E731
         return self.assembler.assemble(
             image_bytes, text_fields or None, flip=flip, rand_aug_fn=rand_aug_fn,
-            extras=extras,
+            extras=extras, raw_u8=self.config.ship_raw_images,
         )
 
 
@@ -207,9 +207,21 @@ class MmtPretrainLoader(_BaseLoader):
             max_selections=min(config.mlm_max_selections_per_seq, config.max_seq_len),
         )
 
+    def _selected_raw_patches(self, u8_image, shifted):
+        """<float32>[m, 3p^2] raw patches of the SELECTED positions only,
+        sliced straight out of the uint8 image (ship_raw_images: the full
+        unnormalized patch tensor is never materialized on host; /255
+        rounding is identical to ``Assembler.decode_image``)."""
+        p = self.cfg.patch_size
+        g = self.cfg.image_size // p
+        view = u8_image.reshape(g, p, g, p, 3).transpose(0, 2, 1, 3, 4)
+        sel = view[shifted // g, shifted % g]  # [m, p, p, 3] (copies m patches)
+        return np.true_divide(sel, 255, dtype=np.float32).reshape(len(shifted), -1)
+
     def _mask_example(self, ex: AssembledExample, rng) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         n = cfg.num_patches
+        raw_mode = cfg.ship_raw_images and "raw_image" in ex.extras
 
         # MPP over [CLS] [PATCH] p1..pN (only patches selectable).
         patch_items = np.asarray(ex.patch_token_ids, np.int32)  # 1 token/item
@@ -217,11 +229,15 @@ class MmtPretrainLoader(_BaseLoader):
         selectable[2:] = True
         mpp = mask_items(patch_items, self.mpp_spec, rng, selectable)
 
-        patch_embeddings = ex.patch_embeddings.copy()
         if len(mpp.positions):
             shifted = mpp.positions - 2
+            raw_patches = (
+                self._selected_raw_patches(ex.extras["raw_image"], shifted)
+                if raw_mode
+                else ex.unnormalized_patch_embeddings[shifted]
+            )
             mpp_label_ids = make_mpp_label_ids(
-                ex.unnormalized_patch_embeddings[shifted],
+                raw_patches,
                 cfg.patch_size,
                 cfg.input_channels,
                 cfg.max_pixel_val,
@@ -229,9 +245,19 @@ class MmtPretrainLoader(_BaseLoader):
             )
         else:
             mpp_label_ids = np.zeros((0,), np.int32)
-        # Zero embeddings of patches whose token became the mask token.
+        # Zero embeddings of patches whose token became the mask token
+        # (host path mutates the patch tensor; raw mode ships the mask
+        # and the zeroing fuses into the on-device extraction).
         masked_slots = mpp.token_ids[2:] == self.mpp_spec.mask_token_id
-        patch_embeddings[masked_slots] = 0.0
+        if raw_mode:
+            patch_fields = {
+                "images": ex.extras["raw_image"],
+                "patch_mask": masked_slots.astype(np.float32),
+            }
+        else:
+            patch_embeddings = ex.patch_embeddings.copy()
+            patch_embeddings[masked_slots] = 0.0
+            patch_fields = {"patch_embeddings": patch_embeddings}
 
         # MLM whole-word over text.
         mlm = mask_items(ex.text_token_words, self.mlm_spec, rng, ex.text_selectable)
@@ -242,7 +268,7 @@ class MmtPretrainLoader(_BaseLoader):
         text_ids = pad_1d(mlm.token_ids, self.assembler.max_remaining_seq_len)
         return {
             "patch_token_ids": mpp.token_ids,
-            "patch_embeddings": patch_embeddings,
+            **patch_fields,
             "num_image_wordpieces": np.int32(ex.num_image_wordpieces),
             "text_token_ids": text_ids,
             "num_text_wordpieces": np.int32(ex.num_text_wordpieces),
@@ -372,13 +398,17 @@ class MmtClassificationLoader(_BaseLoader):
             self.assembler.flat_text_ids(ex.text_token_words),
             self.assembler.max_remaining_seq_len,
         )
-        return {
+        feats = {
             "patch_token_ids": ex.patch_token_ids,
-            "patch_embeddings": ex.patch_embeddings,
             "num_image_wordpieces": np.int32(ex.num_image_wordpieces),
             "text_token_ids": text_ids,
             "num_text_wordpieces": np.int32(ex.num_text_wordpieces),
         }
+        if "raw_image" in ex.extras:  # ship_raw_images
+            feats["images"] = ex.extras["raw_image"]
+        else:
+            feats["patch_embeddings"] = ex.patch_embeddings
+        return feats
 
     def _finalize(self, examples, keys) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -404,13 +434,16 @@ class MmtClassificationLoader(_BaseLoader):
                 [_segment_ids(s, int(i), int(t)) for i, t in zip(img_wp, txt_wp)]
             ),
             "lengths": (img_wp + txt_wp).astype(np.int32),
-            "patch_embeddings": batch["patch_embeddings"],
             "label_ids": batch["itm_label_ids"],
             "label_weights": batch["itm_label_weights"],
             "pos_weights": np.where(
                 batch["itm_label_ids"] > 0, self.cfg.pos_weight, 1.0
             ).astype(np.float32),
         }
+        if "images" in batch:
+            out["images"] = batch["images"]
+        else:
+            out["patch_embeddings"] = batch["patch_embeddings"]
         return out
 
 
@@ -426,28 +459,17 @@ class MmtRetrievalLoader(_BaseLoader):
         super().__init__(config, tokenizer)
         self.cfg = config
 
-    def _attach_raw_image(self, ex, payload):
-        """ship_raw_images: carry the uint8 image for device-side patch
-        extraction (re-parse is once per IMAGE; amortized over the
-        cross-product's ~100 texts per image)."""
-        raw = parse_example(payload)
-        field = self.cfg.image_data_field
-        if field in raw and raw[field]:
-            ex.extras["raw_image"] = self.assembler.raw_image_u8(
-                bytes(raw[field][0])
-            )
-        return ex
-
     def _example_iter(self, shard_index, num_shards, rng):
+        # ship_raw_images: _decode attaches the uint8 image to
+        # ``ex.extras["raw_image"]`` (and skips host patch extraction
+        # entirely); the cross-product below shares one decoded image
+        # example across its ~100 texts.
         cfg = self.cfg
         if cfg.input_path:
             for payload in self._record_iter(
                 cfg.input_path, 0, 1, None, repeat=False
             ):
-                ex = self._decode(payload, rng, False)
-                if cfg.ship_raw_images:
-                    ex = self._attach_raw_image(ex, payload)
-                yield ex
+                yield self._decode(payload, rng, False)
             return
         # Cross product: image-major outer loop (parity with the reference's
         # nested interleave, retrieval_dataloader.py:139-195).  Decoded
@@ -482,8 +504,6 @@ class MmtRetrievalLoader(_BaseLoader):
         for img_path in image_files:
             for payload in TFRecordReader(img_path):
                 img = self._decode(payload, rng, False)
-                if cfg.ship_raw_images:
-                    img = self._attach_raw_image(img, payload)
                 for txt in text_iter():
                     yield AssembledExample(
                         patch_token_ids=img.patch_token_ids,

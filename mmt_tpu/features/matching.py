@@ -36,7 +36,10 @@ _TEXT_PERMUTED_KEYS = (
     "mpp_label_weights",
 )
 
-_IMAGE_TILED_KEYS = ("patch_token_ids", "patch_embeddings", "num_image_wordpieces")
+_IMAGE_TILED_KEYS = (
+    "patch_token_ids", "patch_embeddings", "num_image_wordpieces",
+    "images", "patch_mask",  # ship_raw_images: device-side patch path
+)
 
 
 def _first_occurrence_ids(keys: Sequence) -> np.ndarray:

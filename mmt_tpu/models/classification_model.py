@@ -52,8 +52,12 @@ class MmtClassificationModel(nn.Module):
         patch_embeddings=None,
         lengths=None,
         images=None,
+        patch_mask=None,
         deterministic: bool = True,
     ):
+        # patch_mask only reaches encoders that take it (injected
+        # encoder_cls classes keep the original call contract).
+        extra = {} if patch_mask is None else {"patch_mask": patch_mask}
         outputs = self.encoder(
             word_ids=word_ids,
             segment_ids=segment_ids,
@@ -63,6 +67,7 @@ class MmtClassificationModel(nn.Module):
             lengths=lengths,
             images=images,
             deterministic=deterministic,
+            **extra,
         )
         outputs.update(
             self.head_outputs(

@@ -163,6 +163,7 @@ class MmtEncoder(nn.Module):
         patch_embeddings: Optional[jnp.ndarray] = None,
         lengths: Optional[jnp.ndarray] = None,
         images: Optional[jnp.ndarray] = None,
+        patch_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         """Returns dict with ``sequence_output`` [B, S, H] (float32).
@@ -188,6 +189,7 @@ class MmtEncoder(nn.Module):
             patch_embeddings=patch_embeddings,
             lengths=lengths,
             images=images,
+            patch_mask=patch_mask,
             deterministic=deterministic,
         )
         x = self.transformer(emb, att_mask, relative_att_ids, deterministic, lengths)
@@ -209,6 +211,7 @@ class MmtEncoder(nn.Module):
         patch_embeddings: Optional[jnp.ndarray] = None,
         lengths: Optional[jnp.ndarray] = None,
         images: Optional[jnp.ndarray] = None,
+        patch_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
         """Everything before the layer stack: embedding assembly plus
@@ -231,6 +234,13 @@ class MmtEncoder(nn.Module):
                 im = im.astype(jnp.float32) / 255.0
             p = im.shape[1] // self.num_patch_per_row
             patch_embeddings = extract_patches(normalize_image(im), p)
+            if patch_mask is not None:
+                # MPP masking, device-side (pretraining ship_raw_images):
+                # zero the masked patches' pre-projection features --
+                # exactly the host pipeline's mutation, fused into XLA.
+                patch_embeddings = patch_embeddings * (
+                    1.0 - patch_mask[..., None].astype(patch_embeddings.dtype)
+                )
 
         # The Pallas path regenerates ids and the padding mask in-kernel
         # from (geometry, lengths); only when the XLA path will run do we

@@ -80,8 +80,13 @@ class MmtPretrainingModel(nn.Module):
         mlm_positions=None,
         mpp_positions=None,
         lengths=None,
+        images=None,
+        patch_mask=None,
         deterministic: bool = True,
     ):
+        # patch_mask only reaches encoders that take it (injected
+        # encoder_cls classes keep the original call contract).
+        extra = {} if patch_mask is None else {"patch_mask": patch_mask}
         outputs = self.encoder(
             word_ids=word_ids,
             segment_ids=segment_ids,
@@ -89,7 +94,9 @@ class MmtPretrainingModel(nn.Module):
             relative_att_ids=relative_att_ids,
             patch_embeddings=patch_embeddings,
             lengths=lengths,
+            images=images,
             deterministic=deterministic,
+            **extra,
         )
         outputs.update(
             self.head_outputs(

@@ -42,7 +42,8 @@ MODEL_INPUT_KEYS = (
     "relative_att_ids",
     "patch_embeddings",
     "lengths",
-    "images",  # device-side patch extraction (classification/retrieval)
+    "images",  # device-side patch extraction (ship_raw_images)
+    "patch_mask",  # device-side MPP patch zeroing (pretraining raw path)
 )
 
 
@@ -89,6 +90,7 @@ def _pipelined_sequence_output(model, enc_cfg, params, batch, deterministic,
         patch_embeddings=inputs.get("patch_embeddings"),
         lengths=inputs.get("lengths"),
         images=inputs.get("images"),
+        patch_mask=inputs.get("patch_mask"),
         deterministic=True,
         method="encoder_inputs",
     )

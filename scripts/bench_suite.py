@@ -203,14 +203,15 @@ def _make_e2e_dataset(root, n_records=384, image_size=224, vocab_words=24000):
     return record_path, vocab_path
 
 
-def _e2e_pretrain_cfg(record_path, vocab_path, batch, seq_len=256):
+def _e2e_pretrain_cfg(record_path, vocab_path, batch, seq_len=256,
+                      ship_raw=False):
     from mmt_tpu.configs import MmtPretrainDataConfig
 
     return MmtPretrainDataConfig(
         input_path=record_path, vocab_filename=vocab_path,
         global_batch_size=batch, max_seq_len=seq_len, image_size=224,
         patch_size=16, tasks="mlm,mpp,itm", is_training=True, seed=3,
-        shuffle_buffer_size=256,
+        shuffle_buffer_size=256, ship_raw_images=ship_raw,
     )
 
 
@@ -260,11 +261,12 @@ def _measure_host_stages(record_path, vocab_path, n=64):
     }
 
 
-def _measure_host_pipeline(record_path, vocab_path, batch=64, n_batches=5):
+def _measure_host_pipeline(record_path, vocab_path, batch=64, n_batches=5,
+                           ship_raw=False):
     """Records on disk -> model-ready numpy batches, host only (ex/s)."""
     from mmt_tpu.data.loaders import MmtPretrainLoader
 
-    cfg = _e2e_pretrain_cfg(record_path, vocab_path, batch)
+    cfg = _e2e_pretrain_cfg(record_path, vocab_path, batch, ship_raw=ship_raw)
     it = MmtPretrainLoader(cfg).load()
     next(it)  # pay shuffle-buffer fill outside the timed window
     t0 = time.perf_counter()
@@ -275,7 +277,7 @@ def _measure_host_pipeline(record_path, vocab_path, batch=64, n_batches=5):
 
 
 def _measure_e2e_pretrain(record_path, vocab_path, batch=64, seq_len=256,
-                          micro=32, chunk=8, n_chunks=3):
+                          micro=32, chunk=8, n_chunks=3, ship_raw=False):
     """Records on disk -> host pipeline -> TPU train step, measured as a
     streaming pipeline: a producer thread fills a two-deep queue with
     chunks of `chunk` stacked batches; the consumer dispatches ONE jit
@@ -297,7 +299,8 @@ def _measure_e2e_pretrain(record_path, vocab_path, batch=64, seq_len=256,
     from mmt_tpu.train.train_state import TrainState
 
     task = _pretrain_task(seq_len, micro)
-    cfg = _e2e_pretrain_cfg(record_path, vocab_path, batch, seq_len)
+    cfg = _e2e_pretrain_cfg(record_path, vocab_path, batch, seq_len,
+                            ship_raw=ship_raw)
     it = MmtPretrainLoader(cfg).load()
     first = next(it)
 
@@ -530,6 +533,14 @@ def run_e2e(emit):
         "unit": "examples/sec", "stage_ms_per_example": stages,
         "note": "records on disk -> model-ready batches, single host core",
     })
+    raw_eps = _measure_host_pipeline(record_path, vocab_path, ship_raw=True)
+    emit({
+        "metric": "host_pipeline_pretrain_s256_raw", "value": round(raw_eps, 2),
+        "unit": "examples/sec",
+        "note": "ship_raw_images: uint8 image + patch_mask shipped, "
+                "normalize/extract/MPP-zero fused into XLA; host does "
+                "decode+tokenize+mask only",
+    })
     import jax
 
     if jax.default_backend() == "tpu":
@@ -545,6 +556,14 @@ def run_e2e(emit):
                     "stays on device) the e2e rate is bounded by "
                     "min(host_pipeline_pretrain_s256 x num_workers, "
                     "pretrain_train_step_s256).",
+        })
+        e2e_raw = _measure_e2e_pretrain(record_path, vocab_path,
+                                        ship_raw=True)
+        emit({
+            "metric": "e2e_pretrain_train_s256_raw",
+            "value": round(e2e_raw, 2), "unit": "examples/sec",
+            "note": "same, with ship_raw_images (device-side patch "
+                    "extraction + MPP zeroing; host ships uint8 images)",
         })
         pred_eps = _measure_e2e_predict(root, vocab_path)
         emit({

@@ -158,6 +158,90 @@ class TestPretrainLoader:
         assert np.all(batch["patch_embeddings"][0][masked] == 0)
 
 
+class TestShipRawImagesPretrain:
+    def _cfgs(self, tmp_path, **kw):
+        rng = np.random.default_rng(9)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "raw.tfrecord"), 24, rng)
+        base = data_kwargs(
+            vocab, input_path=path, tasks="mlm,mpp,itm", global_batch_size=12,
+            min_shift=2, mlm_max_selections_per_seq=8,
+            mpp_max_selections_per_seq=4, **kw,
+        )
+        return (
+            MmtPretrainDataConfig(**base),
+            MmtPretrainDataConfig(**base, ship_raw_images=True),
+        )
+
+    def test_raw_batch_matches_host_batch(self, tmp_path):
+        """ship_raw_images pretraining: identical masking/labels, and the
+        device-side extract+normalize+zero reproduces the host patch
+        tensor bit-for-bit (same /255 rounding path)."""
+        from mmt_tpu.features.patches import extract_patches, normalize_image
+
+        host_cfg, raw_cfg = self._cfgs(tmp_path, is_training=False)
+        b_host = next(iter(MmtPretrainLoader(host_cfg).load()))
+        b_raw = next(iter(MmtPretrainLoader(raw_cfg).load()))
+
+        for key in ("word_ids", "segment_ids", "lengths", "mlm_positions",
+                    "mlm_label_ids", "mlm_label_weights", "mpp_positions",
+                    "mpp_label_ids", "mpp_label_weights", "itm_label_ids"):
+            np.testing.assert_array_equal(b_raw[key], b_host[key], err_msg=key)
+        assert "patch_embeddings" not in b_raw
+        assert b_raw["images"].dtype == np.uint8
+        assert b_raw["patch_mask"].shape == (12, 4)
+
+        im = np.true_divide(b_raw["images"], 255, dtype=np.float32)
+        pe = extract_patches(normalize_image(im), host_cfg.patch_size)
+        pe = pe * (1.0 - b_raw["patch_mask"][..., None])
+        np.testing.assert_allclose(
+            pe, b_host["patch_embeddings"], atol=1e-6, rtol=1e-6
+        )
+
+    def test_raw_mode_model_loss_matches(self, tmp_path):
+        """The pretraining task consumes the raw batch (images +
+        patch_mask through the XLA program) with identical loss."""
+        from mmt_tpu.configs import (
+            ClsHeadConfig,
+            MmtEncoderConfig,
+            PretrainModelConfig,
+            PretrainingTaskConfig,
+            TrainerConfig,
+        )
+        from mmt_tpu.configs.encoder import EncoderConfig
+        from mmt_tpu.train.tasks import PretrainingTask
+        import jax
+
+        host_cfg, raw_cfg = self._cfgs(tmp_path, is_training=False)
+        b_host = next(iter(MmtPretrainLoader(host_cfg).load()))
+        b_raw = next(iter(MmtPretrainLoader(raw_cfg).load()))
+
+        enc = MmtEncoderConfig(
+            vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=64,
+            relative_pos_max_distance=3, relative_vocab_size=12,
+            relative_att_num_core_layers=1, compute_dtype="float32",
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        task = PretrainingTask(
+            PretrainingTaskConfig(
+                model=PretrainModelConfig(
+                    encoder=EncoderConfig(mmt=enc),
+                    cls_heads=[ClsHeadConfig(inner_dim=32, num_classes=2,
+                                             name="itm")],
+                ),
+                train_data=host_cfg,
+            ),
+            TrainerConfig(),
+        )
+        params = task.init(jax.random.PRNGKey(0), b_host)
+        loss_h, _ = task.compute_loss(params, b_host, None, True)
+        loss_r, _ = task.compute_loss(params, b_raw, None, True)
+        np.testing.assert_allclose(
+            float(loss_r), float(loss_h), rtol=1e-6, atol=1e-6
+        )
+
+
 class TestItmPostMatchShuffle:
     def test_positives_and_negatives_mix_within_micro_batches(self, tmp_path):
         """Training ITM batches run through a post-match shuffle buffer
