@@ -210,6 +210,7 @@ def main(argv=None):
             train_step = task.make_train_step(
                 mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size,
                 grad_accum_dtype=cfg.trainer.grad_accum_dtype,
+                zero1=cfg.runtime.zero_sharded_optimizer,
             )
     else:
         assert isinstance(cfg.task, ClassificationTaskConfig)
@@ -228,7 +229,9 @@ def main(argv=None):
             num_micro = cfg.runtime.num_pipeline_microbatches or 2
             train_step = task.make_pipelined_train_step(mesh, num_micro)
         else:
-            train_step = task.make_train_step(mesh=mesh)
+            train_step = task.make_train_step(
+                mesh=mesh, zero1=cfg.runtime.zero_sharded_optimizer
+            )
 
     train_iter = iter(batches)
     first = next(train_iter)
@@ -328,6 +331,10 @@ def main(argv=None):
 
     tx = create_optimizer(cfg.trainer.optimizer_config, cfg.trainer.train_steps)
     state = TrainState.create(params, tx)
+    if cfg.runtime.zero_sharded_optimizer:
+        from mmt_tpu.parallel.zero import shard_opt_state
+
+        state = state.replace(opt_state=shard_opt_state(mesh, state.opt_state))
 
     if args.mode == "eval":
         assert eval_fn is not None, "eval mode requires validation_data.input_path"

@@ -41,6 +41,10 @@ class RuntimeConfig(Config):
     # count (micro_batch_size) for pretraining, 2 for classification.
     num_pipeline_stages: int = 1
     num_pipeline_microbatches: int = 0
+    # ZeRO-1: shard Adam moments over the 'data' axis (each chip stores
+    # 1/n of the optimizer state; params stay replicated, numerics
+    # unchanged).  See mmt_tpu/parallel/zero.py.
+    zero_sharded_optimizer: bool = False
     mixed_precision_dtype: str = "bfloat16"
     enable_xla: bool = True  # informational; jax is always XLA
 

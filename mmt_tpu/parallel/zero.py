@@ -1,0 +1,69 @@
+"""ZeRO-1 optimizer-state sharding over the mesh 'data' axis.
+
+The reference replicates Adam moments on every replica (TF
+MirroredStrategy/TPUStrategy semantics).  For a BERT-base MMT that is
+2x params of fp32 (m, v) per chip -- the largest static HBM block after
+the params themselves.  This module shards every param-shaped optimizer
+leaf along its leading dimension across the 'data' axis (the ZeRO-1 /
+scaling-book recipe): each chip stores and updates only its 1/n slice of
+(m, v); GSPMD turns the gradient psum into reduce-scatter-shaped
+collectives where profitable and all-gathers the updated params -- no
+manual collective code.
+
+Usage:
+    state = TrainState.create(params, tx)
+    state = state.replace(opt_state=shard_opt_state(mesh, state.opt_state))
+    step = task.make_train_step(mesh=mesh, zero1=True)
+
+Params stay replicated (same numerics, bit-for-bit, as the replicated
+optimizer -- asserted in tests/test_zero.py); only where the moments
+LIVE changes.  Leaves whose leading dim is not divisible by the axis
+size (biases, LN scales, scalars like Adam's step count) stay
+replicated -- they are a rounding error of the state.
+
+Caveat: the training loop's checkpoint path fetches state with
+``jax.device_get`` (single-host: gathers transparently).  Multi-host
+ZeRO-1 checkpointing would need Orbax's sharded-array save; documented
+in docs/GUIDE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec(x, n: int, axis: str) -> P:
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 1 and shape[0] > 0 and shape[0] % n == 0:
+        return P(axis)
+    return P()
+
+
+def opt_state_specs(mesh: Mesh, opt_state: Any, axis: str = "data"):
+    """PartitionSpec tree: leading-dim sharding where divisible."""
+    n = mesh.shape[axis]
+    return jax.tree.map(lambda x: _spec(x, n, axis), opt_state)
+
+
+def shard_opt_state(mesh: Mesh, opt_state: Any, axis: str = "data"):
+    """Places the optimizer state with ZeRO-1 shardings."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state,
+        opt_state_specs(mesh, opt_state, axis),
+    )
+
+
+def constrain_opt_state(mesh: Mesh, opt_state: Any, axis: str = "data"):
+    """In-jit sharding constraint pinning the ZeRO-1 layout (keeps the
+    partitioner from re-replicating the updated moments)."""
+    return jax.tree.map(
+        lambda x, s: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, s)
+        ),
+        opt_state,
+        opt_state_specs(mesh, opt_state, axis),
+    )

@@ -244,7 +244,7 @@ class PretrainingTask:
         return upd
 
     def make_train_step(self, mesh: Optional[Mesh] = None, micro_batch_size: int = 0,
-                        grad_accum_dtype: str = "float32"):
+                        grad_accum_dtype: str = "float32", zero1: bool = False):
         """Returns jitted (state, batch, rng) -> (state, metrics).
 
         ``micro_batch_size > 0`` enables gradient accumulation: the global
@@ -253,6 +253,9 @@ class PretrainingTask:
         (``src/tasks/pretraining.py:250-298``) with static shapes.
         ``grad_accum_dtype="bfloat16"`` stores the running gradient sum
         in bf16 (half the accumulator HBM; see ``TrainerConfig``).
+        ``zero1`` pins ZeRO-1 optimizer-state shardings
+        (``mmt_tpu.parallel.zero``; place the state with
+        ``shard_opt_state`` first).
         """
         acc_dtype = jnp.dtype(grad_accum_dtype)
 
@@ -299,6 +302,12 @@ class PretrainingTask:
                     lambda p: self.compute_loss(p, batch, rng, False), has_aux=True
                 )(state.params)
             new_state = state.apply_gradients(grads)
+            if zero1 and mesh is not None:
+                from mmt_tpu.parallel.zero import constrain_opt_state
+
+                new_state = new_state.replace(
+                    opt_state=constrain_opt_state(mesh, new_state.opt_state)
+                )
             metrics = dict(metrics)
             metrics["total_loss"] = (loss, 1.0)
             return new_state, metrics
@@ -382,12 +391,18 @@ class ClassificationTask:
         }
         return loss, (outputs, metrics)
 
-    def make_train_step(self, mesh: Optional[Mesh] = None):
+    def make_train_step(self, mesh: Optional[Mesh] = None, zero1: bool = False):
         def step(state: TrainState, batch, rng):
             (loss, (_, metrics)), grads = jax.value_and_grad(
                 lambda p: self.compute_loss(p, batch, rng, False), has_aux=True
             )(state.params)
             new_state = state.apply_gradients(grads)
+            if zero1 and mesh is not None:
+                from mmt_tpu.parallel.zero import constrain_opt_state
+
+                new_state = new_state.replace(
+                    opt_state=constrain_opt_state(mesh, new_state.opt_state)
+                )
             metrics = dict(metrics)
             metrics["total_loss"] = (loss, 1.0)
             return new_state, metrics
