@@ -205,7 +205,9 @@ def main(argv=None):
                 cfg.task.train_data.global_batch_size
                 // max(cfg.trainer.micro_batch_size, 1),
             )
-            train_step = task.make_pipelined_train_step(mesh, num_micro)
+            train_step = task.make_pipelined_train_step(
+                mesh, num_micro, zero1=cfg.runtime.zero_sharded_optimizer
+            )
         else:
             train_step = task.make_train_step(
                 mesh=mesh, micro_batch_size=cfg.trainer.micro_batch_size,
@@ -227,7 +229,9 @@ def main(argv=None):
         )
         if num_pipe > 1:
             num_micro = cfg.runtime.num_pipeline_microbatches or 2
-            train_step = task.make_pipelined_train_step(mesh, num_micro)
+            train_step = task.make_pipelined_train_step(
+                mesh, num_micro, zero1=cfg.runtime.zero_sharded_optimizer
+            )
         else:
             train_step = task.make_train_step(
                 mesh=mesh, zero1=cfg.runtime.zero_sharded_optimizer

@@ -108,7 +108,8 @@ def _pipelined_sequence_output(model, enc_cfg, params, batch, deterministic,
     )
 
 
-def _make_pipelined_step(task, mesh: Mesh, num_micro: int, remat: bool):
+def _make_pipelined_step(task, mesh: Mesh, num_micro: int, remat: bool,
+                         zero1: bool = False):
     if "pipe" not in mesh.axis_names:
         raise ValueError(f"mesh {mesh.axis_names} has no 'pipe' axis")
     pipeline = (mesh, num_micro, remat)
@@ -124,6 +125,12 @@ def _make_pipelined_step(task, mesh: Mesh, num_micro: int, remat: bool):
             state.params
         )
         new_state = state.apply_gradients(grads)
+        if zero1:
+            from mmt_tpu.parallel.zero import constrain_opt_state
+
+            new_state = new_state.replace(
+                opt_state=constrain_opt_state(mesh, new_state.opt_state)
+            )
         metrics = dict(metrics)
         metrics["total_loss"] = (loss, 1.0)
         return new_state, metrics
@@ -218,7 +225,8 @@ class PretrainingTask:
         )
 
     def make_pipelined_train_step(
-        self, mesh: Mesh, num_micro: int, remat: bool = True
+        self, mesh: Mesh, num_micro: int, remat: bool = True,
+        zero1: bool = False,
     ):
         """Jitted (state, batch, rng) -> (state, metrics) with the layer
         stack GPipe-pipelined over the mesh's 'pipe' axis (composes with
@@ -226,7 +234,7 @@ class PretrainingTask:
         update.  Dropout-free configs only (see
         ``_pipelined_sequence_output``).
         """
-        return _make_pipelined_step(self, mesh, num_micro, remat)
+        return _make_pipelined_step(self, mesh, num_micro, remat, zero1)
 
     def _accuracy_updates(self, batch, outputs, mlm_w, mpp_w):
         upd = {}
@@ -410,11 +418,12 @@ class ClassificationTask:
         return jax.jit(step, donate_argnums=(0,))
 
     def make_pipelined_train_step(
-        self, mesh: Mesh, num_micro: int, remat: bool = True
+        self, mesh: Mesh, num_micro: int, remat: bool = True,
+        zero1: bool = False,
     ):
         """Finetune step with the encoder stack GPipe-pipelined over the
         mesh's 'pipe' axis (dropout-free encoder configs)."""
-        return _make_pipelined_step(self, mesh, num_micro, remat)
+        return _make_pipelined_step(self, mesh, num_micro, remat, zero1)
 
     def make_eval_step(self, mesh: Optional[Mesh] = None):
         def step(params, batch):
