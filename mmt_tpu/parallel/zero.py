@@ -21,10 +21,10 @@ LIVE changes.  Leaves whose leading dim is not divisible by the axis
 size (biases, LN scales, scalars like Adam's step count) stay
 replicated -- they are a rounding error of the state.
 
-Caveat: the training loop's checkpoint path fetches state with
-``jax.device_get`` (single-host: gathers transparently).  Multi-host
-ZeRO-1 checkpointing would need Orbax's sharded-array save; documented
-in docs/GUIDE.md.
+Checkpointing: the training loop hands the sharded jax.Arrays to Orbax
+directly (``train/loop.py``), so each process persists exactly its
+addressable shards -- multi-host ZeRO-1 checkpoints work without a
+gather.
 """
 
 from __future__ import annotations

@@ -131,7 +131,12 @@ def run_training(
                 writer.write(step, finalized)
 
         if step % trainer.checkpoint_interval == 0 or step == trainer.train_steps:
-            ckpt.save(step, jax.device_get(state.params), jax.device_get(state.opt_state))
+            # jax.Arrays go to Orbax directly: each process writes its
+            # addressable shards (required for ZeRO-1 sharded moments on
+            # multi-host, where a device_get of a non-fully-addressable
+            # array would throw), and the async saver's device->host
+            # copy happens before the next step can donate the buffers.
+            ckpt.save(step, state.params, state.opt_state)
 
         if eval_fn is not None and (
             step % trainer.validation_interval == 0 or step == trainer.train_steps
