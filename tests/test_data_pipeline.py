@@ -242,6 +242,36 @@ class TestShipRawImagesPretrain:
         )
 
 
+class TestShipRawImagesClassification:
+    def test_raw_batch_matches_host_batch(self, tmp_path):
+        """Classification loader raw mode: same batch through ITM mining
+        (random flips included), device extraction == host patches."""
+        from mmt_tpu.configs import MmtClassificationDataConfig
+        from mmt_tpu.data.loaders import MmtClassificationLoader
+        from mmt_tpu.features.patches import extract_patches, normalize_image
+
+        rng = np.random.default_rng(11)
+        vocab = make_vocab(tmp_path)
+        path = write_records(str(tmp_path / "cls.tfrecord"), 24, rng)
+        base = data_kwargs(
+            vocab, input_path=path, global_batch_size=12, min_shift=2,
+            negative_positive_ratio=1, is_training=True,
+        )
+        b_host = next(iter(MmtClassificationLoader(
+            MmtClassificationDataConfig(**base)).load()))
+        b_raw = next(iter(MmtClassificationLoader(
+            MmtClassificationDataConfig(**base, ship_raw_images=True)).load()))
+
+        for key in ("word_ids", "segment_ids", "lengths", "label_ids",
+                    "label_weights", "pos_weights"):
+            np.testing.assert_array_equal(b_raw[key], b_host[key], err_msg=key)
+        im = np.true_divide(b_raw["images"], 255, dtype=np.float32)
+        pe = extract_patches(normalize_image(im), 16)
+        np.testing.assert_allclose(
+            pe, b_host["patch_embeddings"], atol=1e-6, rtol=1e-6
+        )
+
+
 class TestItmPostMatchShuffle:
     def test_positives_and_negatives_mix_within_micro_batches(self, tmp_path):
         """Training ITM batches run through a post-match shuffle buffer
