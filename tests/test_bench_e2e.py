@@ -105,6 +105,21 @@ def test_e2e_pretrain_stream(e2e_dataset, monkeypatch):
     assert eps > 0
 
 
+def test_e2e_pretrain_stream_raw(e2e_dataset, monkeypatch):
+    """ship_raw_images variant of the streaming e2e pretrain bench."""
+    import bench_suite
+
+    root, rp, vp = e2e_dataset
+    monkeypatch.setattr(bench_suite, "_pretrain_task", _tiny_pretrain_task)
+    eps = bench_suite._measure_e2e_pretrain(
+        rp, vp, batch=16, seq_len=256, micro=8, chunk=2, n_chunks=2,
+        ship_raw=True)
+    assert eps > 0
+    eps_host = bench_suite._measure_host_pipeline(
+        rp, vp, batch=16, n_batches=2, ship_raw=True)
+    assert eps_host > 0
+
+
 def test_e2e_predict_stream(e2e_dataset, monkeypatch):
     import bench_suite
 
