@@ -89,9 +89,14 @@ def _free_port():
 
 
 def test_two_process_training(tmp_path):
+    # zero_sharded_optimizer: the Adam moments live sharded across the
+    # two processes, and the checkpoint save at step 3 persists the
+    # non-fully-addressable arrays through Orbax's collective path.
     port = str(_free_port())
     model_dir = str(tmp_path / "model")
-    override = yaml.safe_dump(_OVERRIDE)
+    override = yaml.safe_dump(
+        {**_OVERRIDE, "runtime": {"zero_sharded_optimizer": True}}
+    )
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
