@@ -629,6 +629,12 @@ def main():
         "metric": "pretrain_train_step_s256", "value": round(eps_train, 3),
         "unit": "examples/sec",
     })
+    # BASELINE.md also names a 512-token mixed-sequence pretraining step.
+    eps_train512 = _measure_pretrain_step(seq_len=512, batch=64, micro=32)
+    emit({
+        "metric": "pretrain_train_step_s512", "value": round(eps_train512, 3),
+        "unit": "examples/sec",
+    })
     if args.long:
         for s, b in ((4096, 8), (8192, 4), (16384, 2)):
             eps = _measure_pretrain_step(seq_len=s, batch=b, micro=b)
