@@ -35,10 +35,11 @@ class RuntimeConfig(Config):
     num_data_parallel: int = 0
     # Optional second mesh axis for param/sequence sharding (unused by DP).
     num_model_parallel: int = 1
-    # GPipe pipeline stages over a 'pipe' mesh axis (dropout-free
-    # encoder configs; mutually exclusive with num_model_parallel > 1).
-    # num_pipeline_microbatches defaults to the gradient-accumulation
-    # count (micro_batch_size) for pretraining, 2 for classification.
+    # GPipe pipeline stages over a 'pipe' mesh axis (mutually exclusive
+    # with num_model_parallel > 1).  Dropout runs inside the pipeline
+    # (per-(micro, layer) folded keys).  num_pipeline_microbatches
+    # defaults to the gradient-accumulation count (micro_batch_size)
+    # for pretraining, 2 for classification.
     num_pipeline_stages: int = 1
     num_pipeline_microbatches: int = 0
     # ZeRO-1: shard Adam moments over the 'data' axis (each chip stores

@@ -123,12 +123,25 @@ def pipeline_layers(
 
     def body(params_local, x_l, sm_l, ss_l):
         stage = jax.lax.axis_index(axis)
+        layers_local = num_layers // num_stages
 
         def stage_fn(x, side):
-            def one(carry, lp):
-                return one_layer(lp, carry, side), None
+            def one(carry, xs):
+                lp, li = xs
+                s = side
+                if "dropout_rng" in side:
+                    # Convention: fold the GLOBAL layer index into the
+                    # per-microbatch dropout key so every (micro, layer)
+                    # pair draws an independent stream.
+                    s = dict(side)
+                    s["dropout_rng"] = jax.random.fold_in(
+                        side["dropout_rng"], stage * layers_local + li
+                    )
+                return one_layer(lp, carry, s), None
 
-            y, _ = jax.lax.scan(one, x, params_local)
+            y, _ = jax.lax.scan(
+                one, x, (params_local, jnp.arange(layers_local))
+            )
             return y
 
         # Post-activation layers emit fp32 (final LN); keep the scanned
@@ -174,7 +187,13 @@ def pipeline_layers(
         outs = outs * (stage == num_stages - 1).astype(outs.dtype)
         return jax.lax.psum(outs, axis)
 
-    sm_specs = jax.tree.map(lambda _: dspec, side_micro)
+    # Per-micro dropout keys ([M]-leading key data) are replicated over
+    # data; everything [M, b, ...]-batched shards dim 1 over data.
+    sm_specs = {
+        k: (P(None) if k == "dropout_rng"
+            else jax.tree.map(lambda _: dspec, v))
+        for k, v in side_micro.items()
+    }
     ss_specs = jax.tree.map(lambda _: P(), side_shared)
     return shard_map(
         body,
@@ -190,8 +209,11 @@ def make_encoder_layer_apply(cfg, num_patch_per_row: int):
 
     Builds the same ``RelativeTransformerLayer`` the encoder's unrolled
     stack uses (``models/relative_attention.py``), so stacked
-    ``layer_{i}`` params apply unchanged.  Deterministic (inference /
-    dropout-free training) form.
+    ``layer_{i}`` params apply unchanged.  Deterministic unless the side
+    dict carries a ``dropout_rng`` key (see ``pipeline_encoder_stack``:
+    per-(micro, layer) folded streams make hidden + attention dropout
+    work inside the pipeline -- a different derivation than the
+    unrolled stack's flax path folds, equally valid dropout).
     """
     from mmt_tpu.models.relative_attention import RelativeTransformerLayer
 
@@ -214,13 +236,15 @@ def make_encoder_layer_apply(cfg, num_patch_per_row: int):
     )
 
     def apply_one(layer_params, x, side):
+        rng = side.get("dropout_rng")
         return layer.apply(
             {"params": layer_params},
             x,
             side.get("att_mask"),
             side.get("relative_att_ids"),
-            True,
+            rng is None,  # deterministic unless a dropout key is supplied
             side.get("lengths"),
+            rngs=None if rng is None else {"dropout": rng},
         )
 
     return apply_one
@@ -236,6 +260,7 @@ def pipelined_encoder_sequence_output(
     axis: str = "pipe",
     data_axis: str = "data",
     remat: bool = False,
+    dropout_rng=None,
 ):
     """Full-batch encoder forward with the layer stack pipelined.
 
@@ -268,6 +293,7 @@ def pipelined_encoder_sequence_output(
         axis=axis,
         data_axis=data_axis,
         remat=remat,
+        dropout_rng=dropout_rng,
     )
 
 
@@ -285,17 +311,23 @@ def pipeline_encoder_stack(
     axis: str = "pipe",
     data_axis: str = "data",
     remat: bool = False,
+    dropout_rng=None,
 ):
     """Pipelines the ``layer_{i}`` stack over ready transformer inputs.
 
     ``encoder_params`` is the encoder's param subtree (the dict holding
     ``transformer``); returns the fp32 [B, S, H] sequence output.
+    ``dropout_rng`` (a PRNG key) enables in-layer hidden + attention
+    dropout: it splits into one key per microbatch, and the pipeline
+    folds the global layer index in per application.
     """
     stacked = stack_layer_params(
         encoder_params["transformer"], cfg.num_hidden_layers
     )
     side_micro: Dict[str, Any] = {}
     side_shared: Dict[str, Any] = {}
+    if dropout_rng is not None:
+        side_micro["dropout_rng"] = jax.random.split(dropout_rng, num_micro)
     if lengths is not None:
         side_micro["lengths"] = microbatch(lengths, num_micro)
     if att_mask is not None:

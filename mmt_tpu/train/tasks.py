@@ -60,26 +60,30 @@ def _batch_sharding_constraint(tree, mesh: Optional[Mesh]):
 
 
 def _pipelined_sequence_output(model, enc_cfg, params, batch, deterministic,
-                               pipeline):
+                               pipeline, dropout_rng=None):
     """fp32 [B, S, H] sequence output with the encoder stack pipelined
     over the 'pipe' mesh axis (``mmt_tpu.parallel.pipeline``).
 
-    The pipelined stack applies layers deterministically (the GPipe scan
-    has no per-layer flax rng plumbing), so training through it requires
-    dropout-free encoder layers; head dropout still follows the caller's
-    ``deterministic``/rngs.
+    Hidden + in-kernel attention dropout run inside the pipelined layers
+    from per-(micro, layer) folded keys derived off ``dropout_rng`` -- a
+    different (equally valid) stream derivation than the unrolled
+    stack's flax path folds.  The embedding dropout in
+    ``transformer_inputs`` and the head dropout keep the caller's
+    rngs.
     """
     from mmt_tpu.parallel.pipeline import pipeline_encoder_stack
 
     mesh, num_micro, remat = pipeline
-    if not deterministic and (
+    has_layer_dropout = not deterministic and (
         enc_cfg.hidden_dropout_prob or enc_cfg.attention_probs_dropout_prob
-    ):
-        raise ValueError(
-            "Pipelined training requires dropout-free encoder layers "
-            "(hidden_dropout_prob=0, attention_probs_dropout_prob=0); got "
-            f"{enc_cfg.hidden_dropout_prob}/{enc_cfg.attention_probs_dropout_prob}."
-        )
+    )
+    layer_rng = None
+    if has_layer_dropout:
+        if dropout_rng is None:
+            raise ValueError(
+                "Pipelined training with dropout needs a dropout rng."
+            )
+        layer_rng = jax.random.fold_in(dropout_rng, 0x9E3779B9)
     inputs = _model_inputs(batch)
     emb, att_mask, rel_ids = model.apply(
         params,
@@ -91,8 +95,9 @@ def _pipelined_sequence_output(model, enc_cfg, params, batch, deterministic,
         lengths=inputs.get("lengths"),
         images=inputs.get("images"),
         patch_mask=inputs.get("patch_mask"),
-        deterministic=True,
+        deterministic=deterministic,
         method="encoder_inputs",
+        rngs=None if dropout_rng is None else {"dropout": dropout_rng},
     )
     return pipeline_encoder_stack(
         enc_cfg,
@@ -105,6 +110,7 @@ def _pipelined_sequence_output(model, enc_cfg, params, batch, deterministic,
         mesh=mesh,
         num_micro=num_micro,
         remat=remat,
+        dropout_rng=layer_rng,
     )
 
 
@@ -213,6 +219,7 @@ class PretrainingTask:
         seq_out = _pipelined_sequence_output(
             self.model, self.config.model.encoder.get(), params, batch,
             deterministic, pipeline,
+            dropout_rng=(rngs or {}).get("dropout"),
         )
         return self.model.apply(
             params,
@@ -231,8 +238,8 @@ class PretrainingTask:
         """Jitted (state, batch, rng) -> (state, metrics) with the layer
         stack GPipe-pipelined over the mesh's 'pipe' axis (composes with
         'data'); gradients flow through the pipeline into the optimizer
-        update.  Dropout-free configs only (see
-        ``_pipelined_sequence_output``).
+        update.  Hidden + attention dropout run inside the pipeline
+        (see ``_pipelined_sequence_output``).
         """
         return _make_pipelined_step(self, mesh, num_micro, remat, zero1)
 
@@ -365,6 +372,7 @@ class ClassificationTask:
             seq_out = _pipelined_sequence_output(
                 self.model, self.config.model.encoder.get(), params, batch,
                 deterministic, pipeline,
+                dropout_rng=(rngs or {}).get("dropout"),
             )
             outputs = self.model.apply(
                 params, seq_out, deterministic=deterministic, rngs=rngs,
@@ -422,7 +430,7 @@ class ClassificationTask:
         zero1: bool = False,
     ):
         """Finetune step with the encoder stack GPipe-pipelined over the
-        mesh's 'pipe' axis (dropout-free encoder configs)."""
+        mesh's 'pipe' axis."""
         return _make_pipelined_step(self, mesh, num_micro, remat, zero1)
 
     def make_eval_step(self, mesh: Optional[Mesh] = None):

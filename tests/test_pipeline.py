@@ -248,22 +248,38 @@ def test_pipelined_classification_step_matches_plain():
     )
 
 
-def test_pipelined_step_rejects_dropout():
+def test_pipelined_step_with_dropout():
+    """Reference-faithful dropout configs train through the pipeline:
+    per-(micro, layer) folded keys drive hidden+attention dropout.
+    Deterministic given the rng; different rngs -> different losses."""
     from tests.test_train import make_pretrain_task, pretrain_batch
     from mmt_tpu.configs import OptimizationConfig
     from mmt_tpu.train.optimizer import create_optimizer
     from mmt_tpu.train.train_state import TrainState
+    from mmt_tpu.parallel import shard_batch
 
-    task = make_pretrain_task(num_hidden_layers=4, hidden_dropout_prob=0.1)
+    task = make_pretrain_task(
+        num_hidden_layers=4, hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1,
+    )
     batch = pretrain_batch()
     params = task.init(jax.random.PRNGKey(0), batch)
     tx = create_optimizer(OptimizationConfig(), train_steps=100)
-    state = TrainState.create(params, tx)
     mesh = _mesh(2, 4)
-    with pytest.raises(ValueError, match="dropout-free"):
-        task.make_pipelined_train_step(mesh, num_micro=2)(
-            state, batch, jax.random.PRNGKey(1)
-        )
+
+    def one_step(rng):
+        state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        with mesh:
+            step = task.make_pipelined_train_step(mesh, num_micro=2)
+            _, metrics = step(state, shard_batch(mesh, batch), rng)
+        return float(metrics["total_loss"][0])
+
+    l_a = one_step(jax.random.PRNGKey(1))
+    l_a2 = one_step(jax.random.PRNGKey(1))
+    l_b = one_step(jax.random.PRNGKey(2))
+    assert np.isfinite(l_a) and np.isfinite(l_b)
+    assert l_a == l_a2  # deterministic given the rng
+    assert l_a != l_b  # dropout actually draws from the rng
 
 
 def test_pipeline_layers_rejects_indivisible_stages():
