@@ -149,7 +149,37 @@ def cpu_baseline() -> float:
     return eps
 
 
+def _probe_backend(timeout_s: int = 600) -> bool:
+    """Backend init in a SUBPROCESS with a timeout: a wedged TPU relay
+    hangs ``jax.devices()`` indefinitely (observed: the local tunnel
+    accepts TCP but the remote never replies), which would turn this
+    bench into a silent hang.  Returns False -- after printing a
+    machine-readable error line -- instead."""
+    code = "import jax; print(jax.default_backend())"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        if out.returncode == 0:
+            return True
+        err = (out.stderr or "").strip().splitlines()
+        detail = err[-1][:200] if err else f"rc={out.returncode}"
+    except subprocess.TimeoutExpired:
+        detail = f"backend init exceeded {timeout_s}s (TPU relay wedged?)"
+    print(json.dumps({
+        "metric": "fashion_gen_4k_retrieval_inference",
+        "value": 0.0,
+        "unit": "examples/sec",
+        "error": f"backend unavailable: {detail}",
+    }))
+    return False
+
+
 def main():
+    if not _probe_backend():
+        sys.exit(1)
+
     import jax
 
     assert jax.default_backend() in ("tpu", "cpu"), jax.default_backend()
