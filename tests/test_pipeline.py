@@ -74,6 +74,21 @@ def test_pipeline_forward_matches_sequential(data, pipe, num_micro):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_pipeline_eight_stages_deep_stack():
+    """8 stages x 1 layer each over a pipe-only mesh (every device a
+    stage; fill/drain dominated schedule) still matches the unrolled
+    stack."""
+    enc, params, inputs = _build(num_layers=8)
+    want = np.asarray(enc.apply(params, **inputs)["sequence_output"])
+    mesh = _mesh(1, 8)
+    got = np.asarray(
+        pipelined_encoder_sequence_output(
+            enc, params, inputs, mesh=mesh, num_micro=4
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_forward_post_activation_order():
     """Post-activation layers emit fp32; the pipeline carry upcasts."""
     enc, params, inputs = _build(use_pre_activation_order=False)
