@@ -57,6 +57,13 @@ class MmtEncoderConfig(Config):
     # Block size for the pallas attention kernel.
     attention_block_q: int = 256  # measured best at 4k (finer q-tiles sharpen the length skip)
     attention_block_k: int = 512
+    # Dense-layer quantization: "none" (default) or "int8_dynamic" --
+    # post-training dynamic int8 for the q/k/v/output projections and the
+    # FFN (per-channel int8 weights x per-tensor dynamic int8 activations,
+    # s32 MXU accumulation; see mmt_tpu/ops/quant.py).  INFERENCE ONLY:
+    # the rounding ops have zero gradient, so training configs must keep
+    # "none" (enforced at the encoder level when deterministic=False).
+    quantize: str = "none"
 
 
 @dataclasses.dataclass

@@ -141,6 +141,7 @@ class MmtEncoder(nn.Module):
             relative_pos_max_distance=cfg.relative_pos_max_distance,
             relative_att_num_core_layers=cfg.relative_att_num_core_layers,
             num_patch_per_row=self.num_patch_per_row,
+            quantize=cfg.quantize,
             remat=cfg.remat,
             name="transformer",
         )

@@ -40,6 +40,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from mmt_tpu.ops.quant import dense_cls
 from mmt_tpu.ops.relative_attention_ref import relative_attention_scores
 from mmt_tpu.ops.pallas_attention import RelGeometry, pallas_relative_attention
 
@@ -61,6 +62,8 @@ class RelativeAttention(nn.Module):
     relative_pos_max_distance: int = 0
     relative_att_num_core_layers: int = 0
     num_patch_per_row: int = 0
+    # "none" or "int8_dynamic" (inference-only; see mmt_tpu/ops/quant.py).
+    quantize: str = "none"
 
     @nn.compact
     def __call__(
@@ -73,9 +76,15 @@ class RelativeAttention(nn.Module):
         ``att_mask``.
         """
         assert self.hidden_size % self.num_heads == 0
+        if self.quantize != "none" and not deterministic:
+            raise ValueError(
+                "quantize='int8_dynamic' is an inference-only path "
+                "(rounding has zero gradient); train with quantize='none'."
+            )
+        _, dense_general = dense_cls(self.quantize)
         head_dim = self.hidden_size // self.num_heads
         init = nn.initializers.truncated_normal(stddev=self.initializer_range)
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+        dense = lambda name: dense_general(  # noqa: E731
             (self.num_heads, head_dim),
             kernel_init=init,
             dtype=self.dtype,
@@ -148,7 +157,7 @@ class RelativeAttention(nn.Module):
                 "bhqk,bkhd->bqhd", probs, v, preferred_element_type=self.dtype
             )
 
-        out = nn.DenseGeneral(
+        out = dense_general(
             self.hidden_size,
             axis=(-2, -1),
             kernel_init=init,
@@ -174,11 +183,13 @@ class RelativeTransformerLayer(nn.Module):
     relative_pos_max_distance: int = 0
     relative_att_num_core_layers: int = 0
     num_patch_per_row: int = 0
+    quantize: str = "none"
 
     @nn.compact
     def __call__(
         self, x, att_mask=None, relative_att_ids=None, deterministic=True, lengths=None
     ):
+        dense_1d, _ = dense_cls(self.quantize)
         init = nn.initializers.truncated_normal(stddev=self.initializer_range)
         ln = lambda name: nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name=name)  # noqa: E731
         attention = RelativeAttention(
@@ -194,19 +205,20 @@ class RelativeTransformerLayer(nn.Module):
             relative_pos_max_distance=self.relative_pos_max_distance,
             relative_att_num_core_layers=self.relative_att_num_core_layers,
             num_patch_per_row=self.num_patch_per_row,
+            quantize=self.quantize,
             name="attention",
         )
         dropout = nn.Dropout(rate=self.hidden_dropout)
 
         def ffn(h):
-            h = nn.Dense(
+            h = dense_1d(
                 self.intermediate_size, kernel_init=init, dtype=self.dtype,
                 name="intermediate",
             )(h)
             # Approximate GELU: reference uses it explicitly for TPU speed
             # (src/modeling/models/mmt_encoder.py:53-54).
             h = nn.gelu(h, approximate=True)
-            h = nn.Dense(
+            h = dense_1d(
                 self.hidden_size, kernel_init=init, dtype=self.dtype, name="ffn_output"
             )(h)
             return h
@@ -247,6 +259,7 @@ class RelativeTransformerLayers(nn.Module):
     relative_pos_max_distance: int = 0
     relative_att_num_core_layers: int = 0
     num_patch_per_row: int = 0
+    quantize: str = "none"
     remat: bool = False
 
     @nn.compact
@@ -273,6 +286,7 @@ class RelativeTransformerLayers(nn.Module):
                 relative_pos_max_distance=self.relative_pos_max_distance,
                 relative_att_num_core_layers=self.relative_att_num_core_layers,
                 num_patch_per_row=self.num_patch_per_row,
+                quantize=self.quantize,
                 name=f"layer_{i}",
             )(x, att_mask, relative_att_ids, deterministic, lengths)
         return x

@@ -21,16 +21,33 @@ import numpy as np
 
 
 def _measure_inference(seq_len: int, batch: int, iters: int = 8,
-                       min_len: int = 0, max_len: int = 0):
+                       min_len: int = 0, max_len: int = 0,
+                       quantize: str = "none"):
     import bench
 
     fwd, args = bench.build("pallas", "bfloat16", batch, seq_len=seq_len,
-                            min_len=min_len, max_len=max_len)
+                            min_len=min_len, max_len=max_len, quantize=quantize)
     eps = bench.measure(fwd, args, batch, iters=iters)
     flops_ex = bench.model_flops_per_example(args[-1])
     tflops = eps * flops_ex / 1e12
     return eps, round(tflops, 2), round(
         100.0 * tflops * 1e12 / bench.V5E_BF16_PEAK, 2)
+
+
+def _int8_score_deviation(seq_len: int, batch: int = 16,
+                          min_len: int = 0, max_len: int = 0) -> float:
+    """max |itm prob| deviation of the int8_dynamic path vs fp, same params
+    (identical init: the quantized modules mirror the fp param tree)."""
+    import bench
+
+    fwd_fp, args = bench.build("pallas", "bfloat16", batch, seq_len=seq_len,
+                               min_len=min_len, max_len=max_len)
+    fwd_q, args_q = bench.build("pallas", "bfloat16", batch, seq_len=seq_len,
+                                min_len=min_len, max_len=max_len,
+                                quantize="int8_dynamic")
+    p_fp = np.asarray(fwd_fp(*args))
+    p_q = np.asarray(fwd_q(args_q[0], *args[1:]))
+    return float(np.max(np.abs(p_fp - p_q)))
 
 
 def _measure_pretrain_step(seq_len: int = 256, batch: int = 64,
@@ -623,6 +640,17 @@ def main():
             "metric": f"{name}_retrieval_inference_s256_b2048",
             "value": round(eps, 3), "unit": "examples/sec",
             "achieved_tflops": tfl, "mfu_pct_v5e_bf16": mfu,
+        })
+    # Dynamic-int8 serving rows (TPU-native extension; v5e MXU runs
+    # s8 x s8 at 2x the bf16 rate).  Deviation = max |prob| change vs the
+    # fp path on the same params/inputs.
+    for s, b in ((512, 256), (256, 512)):
+        eps, tfl, mfu = _measure_inference(s, b, iters=8, quantize="int8_dynamic")
+        emit({
+            "metric": f"retrieval_inference_s{s}_int8", "value": round(eps, 3),
+            "unit": "examples/sec",
+            "achieved_tflops": tfl, "mfu_pct_v5e_bf16": mfu,
+            "max_prob_deviation_vs_fp": round(_int8_score_deviation(s), 5),
         })
     eps_train = _measure_pretrain_step()
     emit({
