@@ -373,16 +373,24 @@ def main(argv=None):
         logging.info("continuous finetune results: %s", results)
         return
 
-    run_training(
-        train_step=train_step,
-        state=state,
-        train_iter=train_iter,
-        trainer=cfg.trainer,
-        model_dir=args.model_dir,
-        eval_fn=eval_fn,
-        rng=rng,
-        place_batch=functools.partial(shard_batch, mesh),
-    )
+    from mmt_tpu.train.preemption import TrainingPreempted
+
+    try:
+        run_training(
+            train_step=train_step,
+            state=state,
+            train_iter=train_iter,
+            trainer=cfg.trainer,
+            model_dir=args.model_dir,
+            eval_fn=eval_fn,
+            rng=rng,
+            place_batch=functools.partial(shard_batch, mesh),
+        )
+    except TrainingPreempted as e:
+        # Clean exit: the checkpoint at e.step is durable and a restart
+        # of this same command resumes from it.
+        logging.warning("exiting after preemption checkpoint at step %d", e.step)
+        return
     logging.info("training complete")
 
 

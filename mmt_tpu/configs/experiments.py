@@ -74,6 +74,11 @@ class TrainerConfig(Config):
     # serialization/IO with the next training window (the loop waits
     # before returning so the final checkpoint is always durable).
     async_checkpointing: bool = True
+    # SIGTERM (Cloud TPU's ~30 s preemption notice) triggers one final
+    # collective checkpoint save, then the loop raises TrainingPreempted
+    # so the launcher can exit cleanly; restart resumes from that exact
+    # step instead of losing up to checkpoint_interval steps.
+    save_on_preemption: bool = True
     # Accumulator dtype for the scanned gradient sum: "float32" (exact,
     # a params-sized fp32 buffer) or "bfloat16" (halves the accumulator
     # HBM -- headroom for longer sequences / bigger micro-batches; the

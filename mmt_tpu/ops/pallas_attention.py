@@ -1701,11 +1701,14 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
     qoff = qk_offsets.astype(jnp.int32)
     scale = 1.0 / (head_dim**0.5)
 
-    # Head packing: hb=1 measured best for the backward kernels (packed
-    # heads blow up VMEM/register pressure under the ds/dsv accumulators
-    # and cond closures: fwd+bwd 74 ms at hb=4 vs 60 at hb=1), while the
-    # forward wins at hb=4.  MMT_ATTN_HB_BWD overrides for experiments.
-    hb_pref = int(os.environ.get("MMT_ATTN_HB_BWD", "1"))
+    # Head packing: under the round-2 cond-heavy schedules hb=1 measured
+    # best for the backward (packed heads blew up VMEM/register pressure
+    # under the ds/dsv accumulators and cond closures: fwd+bwd 74 ms at
+    # hb=4 vs 60 at hb=1).  After the round-3 cond-free/MXU-dsv rewrites
+    # the pressure dropped and hb=2 wins: 31.7 vs 32.7 ms/layer fwd+bwd
+    # at B=8/S=4096 (quiet-machine confirmed; hb=4 regressed).
+    # MMT_ATTN_HB_BWD overrides for experiments.
+    hb_pref = int(os.environ.get("MMT_ATTN_HB_BWD", "2"))
     hb = next((h for h in (hb_pref, 1) if h > 0 and num_heads % h == 0), 1)
 
     qkv_spec_q = pl.BlockSpec((1, hb, block_q, head_dim), _im_q, memory_space=pltpu.VMEM)

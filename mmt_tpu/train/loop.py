@@ -9,6 +9,7 @@ summary writing, and best-checkpoint export -- driven by
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
@@ -19,6 +20,7 @@ import jax
 
 from mmt_tpu.configs.experiments import TrainerConfig
 from mmt_tpu.train.checkpoint import BestCheckpointExporter, CheckpointManager
+from mmt_tpu.train.preemption import PreemptionWatcher, TrainingPreempted
 from mmt_tpu.train.train_state import TrainState
 
 logger = logging.getLogger("mmt_tpu")
@@ -61,6 +63,7 @@ def run_training(
     eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
     rng: Optional[jax.Array] = None,
     place_batch: Callable = lambda b: b,
+    preemption_watcher: Optional[PreemptionWatcher] = None,
 ) -> TrainState:
     """Runs the full training loop; returns the final state.
 
@@ -69,6 +72,12 @@ def run_training(
       train_iter: yields host batches.
       eval_fn: optional callable running validation; returns metrics dict.
       place_batch: device placement fn (e.g. ``shard_batch`` partial).
+      preemption_watcher: injected watcher (tests/embedding); by default
+        one is created when ``trainer.save_on_preemption`` is set.
+
+    Raises:
+      TrainingPreempted: a preemption signal arrived and the state was
+        checkpointed -- restart resumes from ``exc.step``.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     # Async saves overlap Orbax serialization/IO with the next training
@@ -107,45 +116,64 @@ def run_training(
     # the step pipeline full (the reference's steps_per_loop design;
     # fetching per step was measured to cap steps/sec on real TPU).
     window_metrics: Dict = {}
-    t_loop = time.perf_counter()
-    for step_idx in range(start_step, trainer.train_steps):
-        batch = place_batch(next(train_iter))
-        state, metric_sums = train_step(state, batch, jax.random.fold_in(rng, step_idx))
-        for name, pair in metric_sums.items():
-            prev = window_metrics.get(name)
-            window_metrics[name] = pair if prev is None else (
-                prev[0] + pair[0], prev[1] + pair[1]
+    watcher = preemption_watcher
+    if watcher is None and trainer.save_on_preemption:
+        watcher = PreemptionWatcher()
+    with (watcher if watcher is not None else contextlib.nullcontext()):
+        t_loop = time.perf_counter()
+        for step_idx in range(start_step, trainer.train_steps):
+            batch = place_batch(next(train_iter))
+            state, metric_sums = train_step(
+                state, batch, jax.random.fold_in(rng, step_idx))
+            for name, pair in metric_sums.items():
+                prev = window_metrics.get(name)
+                window_metrics[name] = pair if prev is None else (
+                    prev[0] + pair[0], prev[1] + pair[1]
+                )
+
+            step = step_idx + 1
+            at_boundary = (
+                step % trainer.steps_per_loop == 0 or step == trainer.train_steps
             )
+            if at_boundary:
+                # The float() conversions in _finalize_metrics are the one
+                # device->host sync point of the window.
+                finalized = _finalize_metrics(window_metrics)
+                dt = time.perf_counter() - t_loop
+                finalized["steps_per_sec"] = trainer.steps_per_loop / dt
+                logger.info("step %d: %s", step, finalized)
+                window_metrics = {}
+                t_loop = time.perf_counter()
+                if step % trainer.summary_interval == 0 or step == trainer.train_steps:
+                    writer.write(step, finalized)
 
-        step = step_idx + 1
-        if step % trainer.steps_per_loop == 0 or step == trainer.train_steps:
-            # The float() conversions in _finalize_metrics are the one
-            # device->host sync point of the window.
-            finalized = _finalize_metrics(window_metrics)
-            dt = time.perf_counter() - t_loop
-            finalized["steps_per_sec"] = trainer.steps_per_loop / dt
-            logger.info("step %d: %s", step, finalized)
-            window_metrics = {}
-            t_loop = time.perf_counter()
-            if step % trainer.summary_interval == 0 or step == trainer.train_steps:
-                writer.write(step, finalized)
+            if step % trainer.checkpoint_interval == 0 or step == trainer.train_steps:
+                # jax.Arrays go to Orbax directly: each process writes its
+                # addressable shards (required for ZeRO-1 sharded moments on
+                # multi-host, where a device_get of a non-fully-addressable
+                # array would throw), and the async saver's device->host
+                # copy happens before the next step can donate the buffers.
+                ckpt.save(step, state.params, state.opt_state)
 
-        if step % trainer.checkpoint_interval == 0 or step == trainer.train_steps:
-            # jax.Arrays go to Orbax directly: each process writes its
-            # addressable shards (required for ZeRO-1 sharded moments on
-            # multi-host, where a device_get of a non-fully-addressable
-            # array would throw), and the async saver's device->host
-            # copy happens before the next step can donate the buffers.
-            ckpt.save(step, state.params, state.opt_state)
+            if eval_fn is not None and (
+                step % trainer.validation_interval == 0 or step == trainer.train_steps
+            ):
+                eval_metrics = eval_fn(state)
+                SummaryWriter(model_dir, "validation").write(step, eval_metrics)
+                logger.info("eval @ %d: %s", step, eval_metrics)
+                if best is not None:
+                    best.maybe_export(step, eval_metrics,
+                                      jax.device_get(state.params))
 
-        if eval_fn is not None and (
-            step % trainer.validation_interval == 0 or step == trainer.train_steps
-        ):
-            eval_metrics = eval_fn(state)
-            SummaryWriter(model_dir, "validation").write(step, eval_metrics)
-            logger.info("eval @ %d: %s", step, eval_metrics)
-            if best is not None:
-                best.maybe_export(step, eval_metrics, jax.device_get(state.params))
+            if (watcher is not None and step != trainer.train_steps
+                    and watcher.should_save(at_boundary)):
+                if step % trainer.checkpoint_interval != 0:
+                    ckpt.save(step, state.params, state.opt_state)
+                ckpt.wait_until_finished()
+                logger.warning(
+                    "preempted at step %d: checkpoint durable, exiting "
+                    "(restart resumes here)", step)
+                raise TrainingPreempted(step)
 
     ckpt.wait_until_finished()
     return state
