@@ -74,6 +74,10 @@ class TrainerConfig(Config):
     # serialization/IO with the next training window (the loop waits
     # before returning so the final checkpoint is always durable).
     async_checkpointing: bool = True
+    # Also write TensorBoard event files (model_dir/summaries/{train,
+    # validation}) next to the jsonl summaries.  TF-free encoding
+    # (utils/tb_events.py); parity with the reference's TB scalars.
+    tensorboard_summaries: bool = True
     # SIGTERM (Cloud TPU's ~30 s preemption notice) triggers one final
     # collective checkpoint save, then the loop raises TrainingPreempted
     # so the launcher can exit cleanly; restart resumes from that exact

@@ -35,22 +35,36 @@ def _finalize_metrics(metric_sums: Dict) -> Dict[str, float]:
 
 
 class SummaryWriter:
-    """Minimal scalar summary log (jsonl; tensorboard-free observability).
+    """Scalar summaries: jsonl (primary, greppable) + optional
+    TensorBoard event files (`utils/tb_events.py`, TF-free encoding —
+    the reference's TFM trainer wrote TB scalars, SURVEY §5).
 
     Multi-host: only process 0 writes (all processes compute the same
     globally-reduced metric values)."""
 
-    def __init__(self, log_dir: str, name: str):
+    def __init__(self, log_dir: str, name: str, tensorboard: bool = False):
         self._enabled = jax.process_index() == 0
         if self._enabled:
             os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, f"{name}_summaries.jsonl")
+        self._tb = None
+        if self._enabled and tensorboard:
+            from mmt_tpu.utils.tb_events import TBEventWriter
+
+            self._tb = TBEventWriter(os.path.join(log_dir, "summaries", name))
 
     def write(self, step: int, metrics: Dict[str, float]) -> None:
         if not self._enabled:
             return
         with open(self._path, "a") as f:
             f.write(json.dumps({"step": step, **metrics}) + "\n")
+        if self._tb is not None:
+            self._tb.scalars(step, metrics)
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
 
 def run_training(
@@ -87,7 +101,9 @@ def run_training(
         model_dir, max_to_keep=trainer.max_to_keep,
         async_save=trainer.async_checkpointing,
     )
-    writer = SummaryWriter(model_dir, "train")
+    writer = SummaryWriter(model_dir, "train",
+                           tensorboard=trainer.tensorboard_summaries)
+    val_writer = None
     best = None
     if trainer.best_checkpoint_export_subdir and trainer.best_checkpoint_eval_metric:
         best = BestCheckpointExporter(
@@ -159,7 +175,11 @@ def run_training(
                 step % trainer.validation_interval == 0 or step == trainer.train_steps
             ):
                 eval_metrics = eval_fn(state)
-                SummaryWriter(model_dir, "validation").write(step, eval_metrics)
+                if val_writer is None:
+                    val_writer = SummaryWriter(
+                        model_dir, "validation",
+                        tensorboard=trainer.tensorboard_summaries)
+                val_writer.write(step, eval_metrics)
                 logger.info("eval @ %d: %s", step, eval_metrics)
                 if best is not None:
                     best.maybe_export(step, eval_metrics,
@@ -170,10 +190,16 @@ def run_training(
                 if step % trainer.checkpoint_interval != 0:
                     ckpt.save(step, state.params, state.opt_state)
                 ckpt.wait_until_finished()
+                writer.close()
+                if val_writer is not None:
+                    val_writer.close()
                 logger.warning(
                     "preempted at step %d: checkpoint durable, exiting "
                     "(restart resumes here)", step)
                 raise TrainingPreempted(step)
 
     ckpt.wait_until_finished()
+    writer.close()
+    if val_writer is not None:
+        val_writer.close()
     return state
