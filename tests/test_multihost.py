@@ -305,3 +305,79 @@ def test_two_process_train_and_eval(tmp_path):
     assert rows and any("auc" in r for r in rows)
     for r in rows:
         assert math.isfinite(r["total_loss"])
+
+
+_PREEMPT_SCRIPT = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, model_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid
+)
+
+# Deterministic preemption: the "signal" lands on process 0 only, right
+# before its step-2 boundary check; process 1 never flags locally and
+# must still join the collective save via the cross-process OR.
+import mmt_tpu.train.loop as loop
+_Real = loop.PreemptionWatcher
+
+class ScriptedWatcher(_Real):
+    calls = 0
+    def should_save(self, at_boundary):
+        ScriptedWatcher.calls += 1
+        if pid == 0 and ScriptedWatcher.calls == 2:
+            self.trigger()
+        return super().should_save(at_boundary)
+
+loop.PreemptionWatcher = ScriptedWatcher
+
+from mmt_tpu.cli.train import main
+main([
+    "--experiment=mmt/pretraining",
+    "--mode=train",
+    "--model_dir=" + model_dir,
+    "--params_override=" + sys.argv[4],
+])
+print("PROC_OK", pid)
+"""
+
+
+def test_two_process_preemption_collective_save(tmp_path):
+    """A preemption signal on ONE process checkpoints the whole fleet:
+    process 1 (never signaled) joins the collective Orbax save at the
+    same step and both exit cleanly through the CLI's TrainingPreempted
+    handler."""
+    port = str(_free_port())
+    model_dir = str(tmp_path / "model")
+    override = yaml.safe_dump({
+        **_OVERRIDE,
+        "trainer": {**_OVERRIDE["trainer"], "train_steps": 5,
+                    "checkpoint_interval": 5},
+    })
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _PREEMPT_SCRIPT, str(i), port, model_dir,
+             override],
+            env=env, cwd=_ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"PROC_OK {i}" in out
+        assert "preempted at step 2" in out, out
+    # The collective preemption checkpoint landed at step 2 (the periodic
+    # interval of 5 was never reached) and training stopped there.
+    assert os.path.isdir(os.path.join(model_dir, "2"))
+    with open(os.path.join(model_dir, "train_summaries.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert [r["step"] for r in rows] == [1, 2]
