@@ -57,6 +57,16 @@ class MmtEncoderConfig(Config):
     # Block size for the pallas attention kernel.
     attention_block_q: int = 256  # measured best at 4k (finer q-tiles sharpen the length skip)
     attention_block_k: int = 512
+    # Sliding-window + prefix-global attention pattern (0 = dense, the
+    # reference behavior).  window > 0: token pair (i, j) attends iff
+    # i or j is global or |i - j| <= window.  The BASELINE long-sequence
+    # config ("sliding-window + global attention" at 4k): the upstream
+    # etcmodel has long sparse attention but the reference instantiates
+    # only the dense stack, so this is a TPU-native extension -- the
+    # fused kernel skips out-of-window tiles, cost O(S*(window+global)).
+    attention_window: int = 0
+    # -1 = auto: the image part ([CLS] [PATCH] + patches) is global.
+    attention_num_global: int = -1
     # Dense-layer quantization: "none" (default) or "int8_dynamic" --
     # post-training dynamic int8 for the q/k/v/output projections and the
     # FFN (per-channel int8 weights x per-tensor dynamic int8 activations,

@@ -142,6 +142,15 @@ class MmtEncoder(nn.Module):
             relative_att_num_core_layers=cfg.relative_att_num_core_layers,
             num_patch_per_row=self.num_patch_per_row,
             quantize=cfg.quantize,
+            attention_window=cfg.attention_window,
+            # Auto (-1): the whole image part ([CLS] [PATCH] p_1..p_N,
+            # slots [0, 2+N)) is global -- patches see each other and
+            # every text token; text beyond that attends within the
+            # window.
+            attention_num_global=(
+                2 + self.num_patch_per_row**2
+                if cfg.attention_num_global < 0 else cfg.attention_num_global
+            ),
             remat=cfg.remat,
             name="transformer",
         )

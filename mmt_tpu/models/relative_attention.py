@@ -64,6 +64,13 @@ class RelativeAttention(nn.Module):
     num_patch_per_row: int = 0
     # "none" or "int8_dynamic" (inference-only; see mmt_tpu/ops/quant.py).
     quantize: str = "none"
+    # Sliding-window + prefix-global attention pattern (ETC/Longformer
+    # style; 0 = dense).  Pair (i, j) attends iff i or j < num_global or
+    # |i - j| <= window.  North-star long-context capability -- the
+    # reference instantiates only the dense etcmodel stack
+    # (src/modeling/models/mmt_encoder.py:124-135).
+    attention_window: int = 0
+    attention_num_global: int = 0
 
     @nn.compact
     def __call__(
@@ -123,7 +130,13 @@ class RelativeAttention(nn.Module):
                     text_max_distance=self.relative_pos_max_distance,
                     num_patch_per_row=self.num_patch_per_row,
                     num_core_layers=self.relative_att_num_core_layers,
+                    window=self.attention_window,
+                    num_global=self.attention_num_global,
                 )
+            elif self.attention_window > 0:
+                raise ValueError(
+                    "attention_window > 0 requires the relative-bias "
+                    "geometry on the fused path")
             drop_rate = 0.0
             drop_seed = None
             if not deterministic and self.attention_dropout > 0.0:
@@ -149,6 +162,16 @@ class RelativeAttention(nn.Module):
             if att_mask is not None:
                 mask = att_mask if att_mask.ndim == 3 else att_mask[None]
                 logits = logits + (1.0 - mask[:, None].astype(logits.dtype)) * NEG_INF
+            if self.attention_window > 0:
+                s = x.shape[1]
+                i_pos = jnp.arange(s, dtype=jnp.int32)[:, None]
+                j_pos = jnp.arange(s, dtype=jnp.int32)[None, :]
+                allowed = (
+                    (i_pos < self.attention_num_global)
+                    | (j_pos < self.attention_num_global)
+                    | (jnp.abs(j_pos - i_pos) <= self.attention_window)
+                )
+                logits = logits + jnp.where(allowed, 0.0, NEG_INF)[None, None]
             probs = jnp.asarray(nn.softmax(logits, axis=-1), dtype=self.dtype)
             probs = nn.Dropout(rate=self.attention_dropout)(
                 probs, deterministic=deterministic
@@ -184,6 +207,8 @@ class RelativeTransformerLayer(nn.Module):
     relative_att_num_core_layers: int = 0
     num_patch_per_row: int = 0
     quantize: str = "none"
+    attention_window: int = 0
+    attention_num_global: int = 0
 
     @nn.compact
     def __call__(
@@ -206,6 +231,8 @@ class RelativeTransformerLayer(nn.Module):
             relative_att_num_core_layers=self.relative_att_num_core_layers,
             num_patch_per_row=self.num_patch_per_row,
             quantize=self.quantize,
+            attention_window=self.attention_window,
+            attention_num_global=self.attention_num_global,
             name="attention",
         )
         dropout = nn.Dropout(rate=self.hidden_dropout)
@@ -260,6 +287,8 @@ class RelativeTransformerLayers(nn.Module):
     relative_att_num_core_layers: int = 0
     num_patch_per_row: int = 0
     quantize: str = "none"
+    attention_window: int = 0
+    attention_num_global: int = 0
     remat: bool = False
 
     @nn.compact
@@ -287,6 +316,8 @@ class RelativeTransformerLayers(nn.Module):
                 relative_att_num_core_layers=self.relative_att_num_core_layers,
                 num_patch_per_row=self.num_patch_per_row,
                 quantize=self.quantize,
+                attention_window=self.attention_window,
+                attention_num_global=self.attention_num_global,
                 name=f"layer_{i}",
             )(x, att_mask, relative_att_ids, deterministic, lengths)
         return x

@@ -76,11 +76,24 @@ class RelGeometry:
     ``num_core_layers > 0`` => MMT 2D scheme over the first
     ``num_patch_per_row**2`` positions + clipped 1D text after; else the
     ETC 1D scheme over the whole sequence (``image_len == 0``).
+
+    ``window > 0`` additionally restricts the attention PATTERN to
+    sliding-window + prefix-global (ETC/Longformer-style; the BASELINE
+    long-sequence config): pair (i, j) attends iff ``i < num_global`` or
+    ``j < num_global`` or ``|i - j| <= window``.  The upstream etcmodel
+    provides this long sparse attention; the reference instantiates only
+    the dense stack (``src/modeling/models/mmt_encoder.py:124-135``), so
+    this is the rebuild's north-star long-context capability, not a
+    parity surface.  Tiles entirely outside the pattern are skipped in
+    all four fused kernels, making cost scale O(S·(window + num_global))
+    instead of O(S²).
     """
 
     text_max_distance: int
     num_patch_per_row: int = 0
     num_core_layers: int = 0
+    window: int = 0
+    num_global: int = 0
 
     @property
     def image_len(self) -> int:
@@ -834,6 +847,55 @@ def _apply_length_mask(ss, length, q_base, k_base, block_q, block_k):
     )
 
 
+def _apply_window_mask(ss, geo, q_base, k_base):
+    """Sliding-window + prefix-global pattern mask (``RelGeometry.window``).
+
+    Statically a no-op when the pattern is off.  Like the length mask,
+    the term is added unconditionally: it is exactly 0.0 on allowed
+    pairs, and boundary tiles (partially in-window) are the only ones
+    where it bites -- fully-outside tiles never run (see
+    ``_window_tile_contributes``)."""
+    if geo is None or geo.window <= 0:
+        return ss
+    shape = ss[0].shape
+    i_pos = q_base + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j_pos = k_base + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    allowed = (
+        (i_pos < geo.num_global)
+        | (j_pos < geo.num_global)
+        | (jnp.abs(j_pos - i_pos) <= geo.window)
+    )
+    term = jnp.where(allowed, 0.0, NEG_INF)
+    return [s + term for s in ss]
+
+
+def _window_tile_contributes(geo, q_base, k_base, block_q, block_k):
+    """Exact tile skip for the sliding-window + prefix-global pattern.
+
+    A tile is dead iff no query row is global (q_base >= num_global), no
+    key column is global (k_base >= num_global), and the closest (i, j)
+    pair in the tile is farther than ``window`` apart.  Dead tiles'
+    softmax weights would be exactly 0.0 under the mask term, so
+    skipping them is bit-exact (same argument as the pad-tile skip)."""
+    min_dist = jnp.maximum(
+        k_base - (q_base + block_q - 1), q_base - (k_base + block_k - 1)
+    )
+    return (
+        (q_base < geo.num_global)
+        | (k_base < geo.num_global)
+        | (min_dist <= geo.window)
+    )
+
+
+def _tile_run(geo, q_base, k_base, length, block_q, block_k):
+    """Combined data-dependent tile predicate: pad skip + window skip."""
+    run = _tile_contributes(q_base, k_base, length, block_q, block_k)
+    if geo is not None and geo.window > 0:
+        run = run & _window_tile_contributes(geo, q_base, k_base, block_q,
+                                             block_k)
+    return run
+
+
 def _tile_contributes(q_base, k_base, length, block_q, block_k):
     """Exact tile skip: only tiles with real queries AND real keys run.
 
@@ -1174,7 +1236,7 @@ def _fwd_kernel(
     k_base = qoff_ref[1] + ki * block_k
     length = lengths_ref[b]
 
-    run = _tile_contributes(q_base, k_base, length, block_q, block_k)
+    run = _tile_run(geo, q_base, k_base, length, block_q, block_k)
     if far_only:
         # Rect-grid far pass of the split schedule: only the far
         # all-text tiles run here (the structured tiles are handled by
@@ -1228,6 +1290,7 @@ def _fwd_kernel(
             ss = [s * softmax_scale for s in ss]
 
         ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
+        ss = _apply_window_mask(ss, geo, q_base, k_base)
 
         for hh, s in enumerate(ss):
             m_prev = m_scratch[hh, :, 0]
@@ -1356,6 +1419,11 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
         and isinstance(k_start, int) and k_start == 0
     )
     split_env = os.environ.get("MMT_ATTN_SPLIT", "auto")
+    # The far/structured split never pays under the sliding-window
+    # pattern: the far all-text tiles it optimizes are exactly the ones
+    # the window skip removes outright.
+    if geometry is not None and geometry.window > 0:
+        split_env = "0"
     if rel_vocab and static_offsets and seq_len == k.shape[1] and split_env != "0":
         meta_np = _build_tile_meta(geometry, seq_len, block_q, block_k)
         n_tiles = meta_np.shape[1]
@@ -1477,7 +1545,7 @@ def _bwd_dq_kernel(
 
     prescale = _prescale_on(softmax_scale)
 
-    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
+    @pl.when(_tile_run(geo, q_base, k_base, length, block_q, block_k))
     def _body():
         qs = [q_ref[0, hh] for hh in range(hb)]
         if prescale:
@@ -1507,6 +1575,7 @@ def _bwd_dq_kernel(
             ss = [s * softmax_scale for s in ss]
 
         ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
+        ss = _apply_window_mask(ss, geo, q_base, k_base)
 
         dss = []
         for hh, s in enumerate(ss):
@@ -1595,7 +1664,7 @@ def _bwd_dkv_kernel(
 
     prescale = _prescale_on(softmax_scale)
 
-    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k))
+    @pl.when(_tile_run(geo, q_base, k_base, length, block_q, block_k))
     def _body():
         qs = [q_ref[0, hh] for hh in range(hb)]
         if prescale:
@@ -1629,6 +1698,7 @@ def _bwd_dkv_kernel(
             ss = [s * softmax_scale for s in ss]
 
         ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
+        ss = _apply_window_mask(ss, geo, q_base, k_base)
 
         for hh, s in enumerate(ss):
             lse = lse_ref[0, hh, :, 0]
@@ -1957,6 +2027,11 @@ def pallas_relative_attention(
             "dropout_seed is required when dropout_rate > 0 "
             "(derive a distinct int32 seed per training step)"
         )
+    if (geometry is not None and geometry.window > 0
+            and (rel_table is None or geometry.num_global <= 0)):
+        raise ValueError(
+            "window > 0 requires the relative-bias path (rel_table) and "
+            "num_global > 0 (the prefix-global token count)")
     seed = jnp.asarray(
         dropout_seed if dropout_seed is not None else 0, jnp.int32
     )

@@ -51,7 +51,7 @@ def _int8_score_deviation(seq_len: int, batch: int = 16,
 
 
 def _measure_pretrain_step(seq_len: int = 256, batch: int = 64,
-                           micro: int = 32):
+                           micro: int = 32, window: int = 0):
     """examples/sec of the full train step, device-resident.
 
     K steps are chained inside one jit (lax.scan over stacked batches;
@@ -85,6 +85,7 @@ def _measure_pretrain_step(seq_len: int = 256, batch: int = 64,
         relative_vocab_size=49,
         compute_dtype="bfloat16",
         attention_impl="pallas",
+        attention_window=window,
     )
     n_patches = 196
     task_cfg = PretrainingTaskConfig(
@@ -670,6 +671,15 @@ def main():
                 "metric": f"pretrain_train_step_s{s}", "value": round(eps, 3),
                 "unit": "examples/sec",
                 "tokens_per_sec": round(eps * s, 1),
+            })
+            # BASELINE's long-sequence sliding-window + global config:
+            # image part global, window 512.
+            eps_w = _measure_pretrain_step(seq_len=s, batch=b, micro=b,
+                                           window=512)
+            emit({
+                "metric": f"pretrain_train_step_s{s}_window512",
+                "value": round(eps_w, 3), "unit": "examples/sec",
+                "tokens_per_sec": round(eps_w * s, 1),
             })
     if args.e2e:
         run_e2e(emit)

@@ -28,13 +28,19 @@ def main():
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--block_q", type=int, default=None)
     ap.add_argument("--norel", action="store_true")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window width (0 = dense)")
+    ap.add_argument("--num_global", type=int, default=198,
+                    help="prefix-global tokens (default: the image part)")
     ap.add_argument("--minlen", type=int, default=None,
                     help="min length (default S//2); S => no padding")
     ap.add_argument("--bwd", action="store_true", help="time fwd+bwd")
     args = ap.parse_args()
 
     B, S, H, D = args.batch, args.seq, args.heads, args.dim
-    geo = RelGeometry(text_max_distance=12, num_patch_per_row=14, num_core_layers=1)
+    geo = RelGeometry(text_max_distance=12, num_patch_per_row=14, num_core_layers=1,
+                      window=args.window,
+                      num_global=args.num_global if args.window else 0)
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
     k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
@@ -85,9 +91,10 @@ def main():
     t1 = min(t(f1, q + jnp.bfloat16(0.01 * i)) for i in range(3))
     t2 = min(t(f2, q + jnp.bfloat16(0.01 * i)) for i in range(3))
     dt = (t2 - t1) / K
+    wtag = f" window={args.window}/g{args.num_global}" if args.window else ""
     print(f"{'fwd+bwd' if args.bwd else 'fwd'} B={B} S={S} H={H} D={D} "
-          f"block={args.block} rel={not args.norel}: {dt * 1e3:.2f} ms/layer "
-          f"(t{K}={t1 * 1e3:.1f}ms t{2 * K}={t2 * 1e3:.1f}ms)")
+          f"block={args.block} rel={not args.norel}{wtag}: {dt * 1e3:.2f} "
+          f"ms/layer (t{K}={t1 * 1e3:.1f}ms t{2 * K}={t2 * 1e3:.1f}ms)")
 
 
 if __name__ == "__main__":

@@ -65,7 +65,8 @@ class TestShippedYamls:
     def test_all_ported_yamls_load_strict(self):
         yamls = glob.glob(os.path.join(REPO, "configs/exp_yamls/**/*.yaml"),
                           recursive=True)
-        assert len(yamls) == 9
+        # 9 reference ports + the TPU-native long4k window config.
+        assert len(yamls) == 10
         for path in yamls:
             exp = (
                 "mmt/pretraining" if "/pretrain/" in path else "mmt/classification"
