@@ -188,3 +188,52 @@ def test_encoder_window_changes_output_and_impls_agree(impl):
     m = np.asarray(_real_mask(inputs["lengths"], 128))[:, :, 0, :]
     np.testing.assert_allclose(
         np.asarray(out_w) * m, np.asarray(out_o) * m, atol=3e-4, rtol=1e-4)
+
+
+def test_window_composes_with_sequence_sharding():
+    """Windowed kernel under the 4-way seq-sharded schedule == windowed
+    single-device kernel (fwd + grads): the pattern mask and tile skip
+    use global positions, so shard offsets flow through unchanged."""
+    from mmt_tpu.ops.pallas_attention import sequence_sharded_pallas_attention
+    from mmt_tpu.parallel import create_mesh
+
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=4,
+                      num_core_layers=1, window=48, num_global=18)
+    B, S, H, D, V = 2, 256, 2, 16, 24
+    q, k, v, table = _rand_inputs(B, S, H, D, V, seed=11)
+    lengths = jnp.asarray([256, 200], jnp.int32)
+    w = jnp.arange(B * S * H * D, dtype=jnp.float32).reshape(B, S, H, D) * 1e-4
+    w = w * jnp.asarray(_real_mask(lengths, S))
+
+    def loss_single(q, k, v, table):
+        out = pallas_relative_attention(
+            q, k, v, table, geo, lengths, block_q=64, block_k=64,
+            interpret=True)
+        return jnp.sum(out * w)
+
+    want_out = pallas_relative_attention(
+        q, k, v, table, geo, lengths, block_q=64, block_k=64, interpret=True)
+    want_g = jax.grad(loss_single, argnums=(0, 1, 2, 3))(q, k, v, table)
+
+    mesh = create_mesh(num_data=2, num_model=4)
+    with mesh:
+        def sharded(q, k, v, table):
+            return sequence_sharded_pallas_attention(
+                q, k, v, table, geo, lengths, mesh=mesh, block_q=32,
+                block_k=64, interpret=True)
+
+        got_out = jax.jit(sharded)(q, k, v, table)
+
+        def loss_sharded(q, k, v, table):
+            return jnp.sum(sharded(q, k, v, table) * w)
+
+        got_g = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2, 3)))(
+            q, k, v, table)
+
+    m = _real_mask(lengths, S)
+    np.testing.assert_allclose(np.asarray(got_out) * m,
+                               np.asarray(want_out) * m,
+                               atol=3e-5, rtol=3e-5)
+    for n, a, b in zip(["dq", "dk", "dv", "drel"], want_g, got_g):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4, err_msg=n)
