@@ -59,14 +59,15 @@ def model_flops_per_example(lengths, hidden=768, layers=12, intermediate=3072,
 
 def build(attention_impl: str, compute_dtype: str, batch: int, seed: int = 0,
           seq_len: int = SEQ_LEN, min_len: int = 0, max_len: int = 0,
-          quantize: str = "none"):
+          quantize: str = "none", window: int = 0):
     import jax
 
     from __graft_entry__ import _flagship_config, _flagship_inputs
     from mmt_tpu.models import MmtClassificationModel
 
     cfg = _flagship_config(seq_len, compute_dtype=compute_dtype,
-                           attention_impl=attention_impl, quantize=quantize)
+                           attention_impl=attention_impl, quantize=quantize,
+                           window=window)
     model = MmtClassificationModel(cfg, num_patch_per_row=14)
     inputs = _flagship_inputs(batch, seq_len, seed=seed,
                               min_len=min_len, max_len=max_len)

@@ -642,6 +642,17 @@ def main():
             "value": round(eps, 3), "unit": "examples/sec",
             "achieved_tflops": tfl, "mfu_pct_v5e_bf16": mfu,
         })
+    # BASELINE's long-sequence sliding-window + global attention config
+    # at the flagship shape (image part global, window 512).  A distinct
+    # model (different attention pattern), so no vs_baseline claim;
+    # FLOPs/MFU keep the dense accounting for comparability.
+    fwd_w, args_w = bench.build("pallas", "bfloat16", 32, seq_len=4096,
+                                window=512)
+    eps_w = bench.measure(fwd_w, args_w, 32, iters=8)
+    emit({
+        "metric": "fashion_gen_4k_retrieval_inference_window512",
+        "value": round(eps_w, 3), "unit": "examples/sec",
+    })
     # Dynamic-int8 serving rows (TPU-native extension; v5e MXU runs
     # s8 x s8 at 2x the bf16 rate).  Deviation = max |prob| change vs the
     # fp path on the same params/inputs.
