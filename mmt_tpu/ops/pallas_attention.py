@@ -952,6 +952,40 @@ def _split_tile_lists(meta: np.ndarray, nq: int, nk: int):
             np.asarray(struct + [guard], np.int32).T.copy())
 
 
+@functools.lru_cache(maxsize=None)
+def _window_tile_list(geo: RelGeometry, seq_len: int, block_q: int,
+                      block_k: int, sort: str = "q") -> np.ndarray:
+    """Static live-tile list for the sliding-window + prefix-global
+    pattern: (qi, ki, 0) rows, one guard row (-1, -1, 2).
+
+    ``sort='q'`` orders by qi (forward / dq passes, scratch accumulates
+    over a qi run); ``sort='k'`` orders by ki (dkv pass).  Every qi owns
+    its diagonal tile and every ki is reached by its diagonal query, so
+    every output block is visited (no per-row sentinels needed).
+    Driving the grid off this list means dead tiles never occupy a
+    fetch/pipeline slot -- the pl.when skip on the rectangular grid
+    saves their compute but not their slot, which capped the windowed
+    kernel at ~72% of dense cost when only ~50% of tiles are live (and
+    far less at 8k/16k)."""
+    nq, nk = seq_len // block_q, seq_len // block_k
+    rows = []
+    for qi in range(nq):
+        q_base = qi * block_q
+        for ki in range(nk):
+            k_base = ki * block_k
+            min_dist = max(k_base - (q_base + block_q - 1),
+                           q_base - (k_base + block_k - 1))
+            if (q_base < geo.num_global or k_base < geo.num_global
+                    or min_dist <= geo.window):
+                rows.append((qi, ki, 0))
+    if sort == "k":
+        rows.sort(key=lambda r: (r[1], r[0]))
+    rows.append((-1, -1, 2))
+    out = np.asarray(rows, np.int32).T.copy()
+    out.setflags(write=False)
+    return out
+
+
 def _fwd_list_kernel(
     lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, rel_ref,
     o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, *,
@@ -1034,6 +1068,7 @@ def _fwd_list_kernel(
                 ]
 
         ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
+        ss = _apply_window_mask(ss, geo, q_base, k_base)
 
         for hh, s in enumerate(ss):
             m_prev = m_scratch[hh, :, 0]
@@ -1074,6 +1109,71 @@ def _fwd_list_kernel(
             lse_ref[0, hh, :, 0] = jnp.where(
                 l_final == 0.0, -jnp.inf, m_scratch[hh, :, 0] + jnp.log(l_safe)
             ).astype(jnp.float32)
+
+
+def _run_fwd_list(qt, kt, vt, rel_h, lengths, qoff, meta, tlist, geometry,
+                  rel_vocab, block_q, block_k, nk, hb, interpret, *,
+                  far, dropout_rate=0.0):
+    """One list-driven forward pass over a static (qi, ki, flag) table.
+
+    Shared by the far/structured split schedule and the sliding-window
+    list grid.  Outputs float32 o partials + lse; rows with no live
+    tiles emit lse = -inf / o = 0."""
+    batch, num_heads, seq_len, head_dim = qt.shape
+    scale = 1.0 / (head_dim**0.5)
+
+    def im_q(b, h, t, lens, qoff_, meta_, tm):
+        return (b, h, tm[0, t], 0)
+
+    def im_k(b, h, t, lens, qoff_, meta_, tm):
+        return (b, h, tm[1, t], 0)
+
+    kernel = functools.partial(
+        _fwd_list_kernel, geo=geometry, rel_vocab=rel_vocab,
+        block_q=block_q, block_k=block_k, nk=nk, hb=hb,
+        softmax_scale=scale, far=far, dropout_rate=dropout_rate,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(batch, num_heads // hb, tlist.shape[1] - 1),
+        in_specs=[
+            pl.BlockSpec((1, hb, block_q, head_dim), im_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, block_k, head_dim), im_k,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, block_k, head_dim), im_k,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, rel_h.shape[1], head_dim),
+                         lambda b, h, t, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hb, block_q, head_dim), im_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, block_q, 1),
+                         lambda b, h, t, lens, qoff_, meta_, tm:
+                             (b, h, tm[0, t], 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
+            pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
+            pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(qt.shape, jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1),
+                                 jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qoff, jnp.asarray(meta),
+      jnp.asarray(tlist), qt, kt, vt, rel_h)
 
 
 def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
@@ -1142,65 +1242,17 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
         )(lengths.astype(jnp.int32), qoff, jnp.asarray(meta), qt, kt, vt,
           rel_h)
 
-    def im_q(b, h, t, lens, qoff_, meta_, tm):
-        return (b, h, tm[0, t], 0)
-
-    def im_k(b, h, t, lens, qoff_, meta_, tm):
-        return (b, h, tm[1, t], 0)
-
-    def run(tlist, far):
-        kernel = functools.partial(
-            _fwd_list_kernel, geo=geometry, rel_vocab=rel_vocab,
-            block_q=block_q, block_k=block_k, nk=nk, hb=hb,
-            softmax_scale=scale, far=far, dropout_rate=dropout_rate,
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(batch, num_heads // hb, tlist.shape[1] - 1),
-            in_specs=[
-                pl.BlockSpec((1, hb, block_q, head_dim), im_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, block_k, head_dim), im_k,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, block_k, head_dim), im_k,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((hb, rel_h.shape[1], head_dim),
-                             lambda b, h, t, *_: (h, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, hb, block_q, head_dim), im_q,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hb, block_q, 1),
-                             lambda b, h, t, lens, qoff_, meta_, tm:
-                                 (b, h, tm[0, t], 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
-                pltpu.VMEM((hb, block_q, _stats_lanes()), jnp.float32),
-                pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
-            ],
-        )
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct(qt.shape, jnp.float32),
-                jax.ShapeDtypeStruct((batch, num_heads, seq_len, 1),
-                                     jnp.float32),
-            ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(lengths.astype(jnp.int32), qoff, jnp.asarray(meta),
-          jnp.asarray(tlist), qt, kt, vt, rel_h)
-
     if far_mode == "rect":
         o_f, lse_f = run_rect_far()
     else:
-        o_f, lse_f = run(far_list, far=True)
-    o_s, lse_s = run(struct_list, far=False)
+        o_f, lse_f = _run_fwd_list(
+            qt, kt, vt, rel_h, lengths, qoff, meta, far_list, geometry,
+            rel_vocab, block_q, block_k, nk, hb, interpret,
+            far=True, dropout_rate=dropout_rate)
+    o_s, lse_s = _run_fwd_list(
+        qt, kt, vt, rel_h, lengths, qoff, meta, struct_list, geometry,
+        rel_vocab, block_q, block_k, nk, hb, interpret,
+        far=False, dropout_rate=dropout_rate)
     lse = jnp.logaddexp(lse_f, lse_s)
     # Fully-padded rows have zero live tiles in BOTH passes: clamp the
     # denominator so exp(-inf - -inf) = NaN never forms (weights 0).
@@ -1451,6 +1503,28 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
                 # experiment flag.
                 far_mode=os.environ.get("MMT_ATTN_SPLIT_MODE", "list"),
             )
+    # Sliding-window pattern: drive the grid off the static live-tile
+    # list so dead tiles never occupy a fetch/pipeline slot (the rect
+    # grid's pl.when skip saves compute only).  MMT_ATTN_WINDOW_GRID=
+    # rect reverts to the rectangular grid for A/B.
+    if (rel_vocab and static_offsets and seq_len == k.shape[1]
+            and geometry is not None and geometry.window > 0
+            and os.environ.get("MMT_ATTN_WINDOW_GRID", "list") == "list"):
+        wlist = _window_tile_list(geometry, seq_len, block_q, block_k)
+        qoff = jnp.stack([
+            jnp.asarray(q_start, jnp.int32),
+            jnp.asarray(k_start, jnp.int32),
+            jnp.asarray(
+                dropout_seed if dropout_seed is not None else 0, jnp.int32),
+            jnp.asarray(batch_start, jnp.int32),
+        ])
+        o, lse = _run_fwd_list(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), rel_h, lengths, qoff,
+            _build_tile_meta(geometry, seq_len, block_q, block_k), wlist,
+            geometry, rel_vocab, block_q, block_k, nk, hb, interpret,
+            far=False, dropout_rate=dropout_rate)
+        return o.astype(q.dtype).transpose(0, 2, 1, 3), lse
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -1743,6 +1817,321 @@ def _bwd_dkv_kernel(
             dv_ref[0, hh] = dv_acc[hh].astype(dv_ref.dtype)
 
 
+def _bwd_dq_list_kernel(
+    lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, do_ref,
+    lse_ref, delta_ref, rel_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc, *,
+    geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
+    dropout_rate=0.0,
+):
+    """List-driven dq (+ dRel) over a static qi-sorted tile subset
+    (sliding-window grid).  Same body as ``_bwd_dq_kernel``; scratch
+    init/finalize trigger on qi changes, dRel writes on the last step."""
+    b = pl.program_id(0)
+    hgrp = pl.program_id(1)
+    t = pl.program_id(2)
+    qi = tmeta_ref[0, t]
+    ki = tmeta_ref[1, t]
+    flag = tmeta_ref[2, t]
+    prev_qi = tmeta_ref[0, jnp.maximum(t - 1, 0)]
+
+    @pl.when((t == 0) | (prev_qi != qi))
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+        dsv_acc[...] = jnp.zeros_like(dsv_acc)
+
+    @pl.when(t == 0)
+    def _init_dr():
+        dr_acc[...] = jnp.zeros_like(dr_acc)
+
+    q_base = qoff_ref[0] + qi * block_q
+    k_base = qoff_ref[1] + ki * block_k
+    length = lengths_ref[b]
+
+    prescale = _prescale_on(softmax_scale)
+
+    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k)
+             & (flag != 2))
+    def _body():
+        qs = [q_ref[0, hh] for hh in range(hb)]
+        if prescale:
+            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
+        ks = [k_ref[0, hh] for hh in range(hb)]
+        ss = [
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for q, k in zip(qs, ks)
+        ]
+        qrs = [
+            jax.lax.dot_general(
+                q, rel_ref[hh], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hh, q in enumerate(qs)
+        ]
+        biases = _tile_bias_multi(
+            qrs, meta_ref, qi * nk + ki, q_base, k_base, ss[0].shape, geo,
+            rel_vocab, block_q, block_k,
+        )
+        ss = [s + bias for s, bias in zip(ss, biases)]
+        if not prescale:
+            ss = [s * softmax_scale for s in ss]
+
+        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
+        ss = _apply_window_mask(ss, geo, q_base, k_base)
+
+        dss = []
+        for hh, s in enumerate(ss):
+            lse = lse_ref[0, hh, :, 0]
+            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
+            p = jnp.exp(s - lse[:, None])
+            do = do_ref[0, hh].astype(jnp.float32)
+            v_tile = v_ref[0, hh].astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if dropout_rate:
+                head = hgrp * hb + hh
+                keep = _dropout_tile(
+                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base,
+                    dp.shape, dropout_rate
+                )
+                dp = dp * keep
+            delta = delta_ref[0, hh, :, 0]
+            ds = p * (dp - delta[:, None])
+            dss.append(ds)
+            dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
+                ds, ks[hh].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dsvs = _tile_dsv_multi(
+            dss, meta_ref, qi * nk + ki, q_base, k_base, v_pad, geo,
+            rel_vocab, block_q, block_k,
+        )
+        for hh, dsv in enumerate(dsvs):
+            dsv_acc[hh] = dsv_acc[hh] + dsv
+
+    nxt_qi = tmeta_ref[0, t + 1]
+
+    @pl.when((t == pl.num_programs(2) - 1) | (nxt_qi != qi))
+    def _finalize():
+        for hh in range(hb):
+            dq = dq_acc[hh] + jax.lax.dot_general(
+                dsv_acc[hh], rel_ref[hh].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dr_acc[hh] = dr_acc[hh] + jax.lax.dot_general(
+                dsv_acc[hh], q_ref[0, hh].astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * softmax_scale
+            dq_ref[0, hh] = (dq * softmax_scale).astype(dq_ref.dtype)
+
+        @pl.when(t == pl.num_programs(2) - 1)
+        def _write_dr():
+            dr_ref[0] = dr_acc[...]
+
+
+def _bwd_dkv_list_kernel(
+    lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, do_ref,
+    lse_ref, delta_ref, rel_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+    geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
+    dropout_rate=0.0,
+):
+    """List-driven dk/dv over a static ki-sorted tile subset
+    (sliding-window grid).  Same body as ``_bwd_dkv_kernel``; scratch
+    init/finalize trigger on ki changes."""
+    b = pl.program_id(0)
+    hgrp = pl.program_id(1)
+    t = pl.program_id(2)
+    qi = tmeta_ref[0, t]
+    ki = tmeta_ref[1, t]
+    flag = tmeta_ref[2, t]
+    prev_ki = tmeta_ref[1, jnp.maximum(t - 1, 0)]
+
+    @pl.when((t == 0) | (prev_ki != ki))
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_base = qoff_ref[0] + qi * block_q
+    k_base = qoff_ref[1] + ki * block_k
+    length = lengths_ref[b]
+
+    prescale = _prescale_on(softmax_scale)
+
+    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k)
+             & (flag != 2))
+    def _body():
+        qs = [q_ref[0, hh] for hh in range(hb)]
+        if prescale:
+            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
+        ks = [k_ref[0, hh] for hh in range(hb)]
+        ss = [
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for q, k in zip(qs, ks)
+        ]
+        qrs = [
+            jax.lax.dot_general(
+                q, rel_ref[hh], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hh, q in enumerate(qs)
+        ]
+        biases = _tile_bias_multi(
+            qrs, meta_ref, qi * nk + ki, q_base, k_base, ss[0].shape, geo,
+            rel_vocab, block_q, block_k,
+        )
+        ss = [s + bias for s, bias in zip(ss, biases)]
+        if not prescale:
+            ss = [s * softmax_scale for s in ss]
+
+        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
+        ss = _apply_window_mask(ss, geo, q_base, k_base)
+
+        for hh, s in enumerate(ss):
+            lse = lse_ref[0, hh, :, 0]
+            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
+            p = jnp.exp(s - lse[:, None])
+            do = do_ref[0, hh].astype(jnp.float32)
+            v_tile = v_ref[0, hh].astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p_v = p
+            if dropout_rate:
+                head = hgrp * hb + hh
+                keep = _dropout_tile(
+                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base,
+                    dp.shape, dropout_rate
+                )
+                dp = dp * keep
+                p_v = p * keep
+            delta = delta_ref[0, hh, :, 0]
+            ds = p * (dp - delta[:, None])
+
+            dv_acc[hh] = dv_acc[hh] + jax.lax.dot_general(
+                p_v, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_acc[hh] = dk_acc[hh] + jax.lax.dot_general(
+                ds, qs[hh].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    nxt_ki = tmeta_ref[1, t + 1]
+
+    @pl.when((t == pl.num_programs(2) - 1) | (nxt_ki != ki))
+    def _finalize():
+        for hh in range(hb):
+            if prescale:
+                dk_ref[0, hh] = dk_acc[hh].astype(dk_ref.dtype)
+            else:
+                dk_ref[0, hh] = (
+                    dk_acc[hh] * softmax_scale
+                ).astype(dk_ref.dtype)
+            dv_ref[0, hh] = dv_acc[hh].astype(dv_ref.dtype)
+
+
+def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
+                          meta, geometry, rel_vocab, v_pad, block_q, block_k,
+                          nk, hb, interpret, dropout_rate, q_dtype, k_dtype,
+                          v_dtype, seq_len):
+    """Both backward passes on the static windowed live-tile lists."""
+    batch, num_heads = qt.shape[0], qt.shape[1]
+    head_dim = qt.shape[3]
+    scale = 1.0 / (head_dim**0.5)
+    qlist = _window_tile_list(geometry, seq_len, block_q, block_k, "q")
+    klist = _window_tile_list(geometry, seq_len, block_q, block_k, "k")
+
+    def im_tq(b, h, t, lens, qoff_, meta_, tm):
+        return (b, h, tm[0, t], 0)
+
+    def im_tk(b, h, t, lens, qoff_, meta_, tm):
+        return (b, h, tm[1, t], 0)
+
+    rel_spec = pl.BlockSpec((hb, v_pad, head_dim),
+                            lambda b, h, t, *_: (h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_q = pl.BlockSpec((1, hb, block_q, head_dim), im_tq,
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((1, hb, block_k, head_dim), im_tk,
+                          memory_space=pltpu.VMEM)
+    vec_q = pl.BlockSpec((1, hb, block_q, 1),
+                         lambda b, h, t, lens, qoff_, meta_, tm:
+                             (b, h, tm[0, t], 0),
+                         memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _bwd_dq_list_kernel, geo=geometry, rel_vocab=rel_vocab, v_pad=v_pad,
+        block_q=block_q, block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
+        dropout_rate=dropout_rate,
+    )
+    dq_t, dr_bh = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(batch, num_heads // hb, qlist.shape[1] - 1),
+            in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q, rel_spec],
+            out_specs=(
+                spec_q,
+                pl.BlockSpec((1, hb, v_pad, head_dim),
+                             lambda b, h, t, *_: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+                pltpu.VMEM((hb, block_q, v_pad), jnp.float32),
+                pltpu.VMEM((hb, v_pad, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(qt.shape, q_dtype),
+            jax.ShapeDtypeStruct((batch, num_heads, v_pad, head_dim),
+                                 jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths_i, qoff, jnp.asarray(meta), jnp.asarray(qlist),
+      qt, kt, vt, dot, lse, delta, rel_h)
+
+    kernel2 = functools.partial(
+        _bwd_dkv_list_kernel, geo=geometry, rel_vocab=rel_vocab,
+        block_q=block_q, block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
+        dropout_rate=dropout_rate,
+    )
+    dk_t, dv_t = pl.pallas_call(
+        kernel2,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(batch, num_heads // hb, klist.shape[1] - 1),
+            in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q, rel_spec],
+            out_specs=(spec_k, spec_k),
+            scratch_shapes=[
+                pltpu.VMEM((hb, block_k, head_dim), jnp.float32),
+                pltpu.VMEM((hb, block_k, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(kt.shape, k_dtype),
+            jax.ShapeDtypeStruct(vt.shape, v_dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths_i, qoff, jnp.asarray(meta), jnp.asarray(klist),
+      qt, kt, vt, dot, lse, delta, rel_h)
+    return dq_t, dr_bh, dk_t, dv_t
+
+
 def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
                         dropout_rate=0.0, static_zero=False):
     q, k, v, rel_table, lengths, qk_offsets, out, lse = residuals
@@ -1780,6 +2169,23 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
     # MMT_ATTN_HB_BWD overrides for experiments.
     hb_pref = int(os.environ.get("MMT_ATTN_HB_BWD", "2"))
     hb = next((h for h in (hb_pref, 1) if h > 0 and num_heads % h == 0), 1)
+
+    # Sliding-window pattern: run both backward passes on the static
+    # live-tile lists (see _window_tile_list) instead of the rectangular
+    # grid with pl.when skips.
+    if (rel_vocab and static_zero and geometry is not None
+            and geometry.window > 0 and seq_len == k.shape[1]
+            and os.environ.get("MMT_ATTN_WINDOW_GRID", "list") == "list"):
+        dq_t, dr_bh, dk_t, dv_t = _backward_window_list(
+            qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff, meta,
+            geometry, rel_vocab, v_pad, block_q, block_k, nk, hb, interpret,
+            dropout_rate, q.dtype, k.dtype, v.dtype, seq_len)
+        drel = jnp.sum(dr_bh, axis=0)[:, :rel_vocab]
+        drel = drel.transpose(1, 0, 2).astype(rel_table.dtype)
+        dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+        doffs = np.zeros(qk_offsets.shape, dtype=jax.dtypes.float0)
+        return (dq_t.transpose(0, 2, 1, 3), dk_t.transpose(0, 2, 1, 3),
+                dv_t.transpose(0, 2, 1, 3), drel, dlengths, doffs)
 
     qkv_spec_q = pl.BlockSpec((1, hb, block_q, head_dim), _im_q, memory_space=pltpu.VMEM)
     qkv_spec_k = pl.BlockSpec((1, hb, block_k, head_dim), _im_k, memory_space=pltpu.VMEM)

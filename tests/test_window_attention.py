@@ -123,6 +123,37 @@ def test_window_gradients_match_dense_reference():
             err_msg=f"grad {name}")
 
 
+@pytest.mark.parametrize("dropout", [0.0, 0.3])
+def test_window_list_grid_matches_rect_grid(monkeypatch, dropout):
+    """The list-driven windowed grid (default) is bit-identical to the
+    rectangular pl.when-skip grid: the list walks the same live tiles in
+    the same qi-major (dq/fwd) / ki-major (dkv) order, so every flash
+    accumulation happens in the same order on the same operands."""
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=4,
+                      num_core_layers=1, window=48, num_global=18)
+    q, k, v, table = _rand_inputs(2, 256, 2, 16, 32, seed=11)
+    lengths = jnp.asarray([256, 170], jnp.int32)
+    seed = 13 if dropout else None
+
+    def f(q, k, v, table):
+        out = pallas_relative_attention(
+            q, k, v, table, geo, lengths, block_q=64, block_k=64,
+            interpret=True, dropout_rate=dropout, dropout_seed=seed)
+        return out
+
+    def run():
+        out, vjp = jax.vjp(f, q, k, v, table)
+        g = jnp.ones_like(out)
+        return [np.asarray(x) for x in (out, *vjp(g))]
+
+    monkeypatch.setenv("MMT_ATTN_WINDOW_GRID", "list")
+    got_list = run()
+    monkeypatch.setenv("MMT_ATTN_WINDOW_GRID", "rect")
+    got_rect = run()
+    for a, b, name in zip(got_list, got_rect, ["out", "dq", "dk", "dv", "dt"]):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_window_requires_rel_and_global():
     geo = RelGeometry(text_max_distance=5, window=48, num_global=0)
     q, k, v, table = _rand_inputs(1, 128, 2, 16, 25)
