@@ -11,6 +11,7 @@ implementations share), one text whose ground-truth image is outside
 its scored pool, and an image that is nobody's ground truth.
 """
 
+import numpy as np
 import pandas as pd
 
 from mmt_tpu.eval.recall import get_recall_at_k_from_dataframe
@@ -138,3 +139,92 @@ class TestRecallGolden:
         # ties are gt).  Net: i2t/t2i @1 == 1.0 for queries with gt.
         assert result["i2t @  1"] == "1.0000"
         assert result["t2i @  1"] == "1.0000"
+
+
+def _load_reference_recall():
+    """Exec the reference's own ``get_recall_at_k_from_dataframe`` source.
+
+    src/prediction_helper.py:30-89 uses only collections/numpy/pandas
+    (all installed); the module's other imports (tensorflow, absl, the
+    reference package) never load because we extract just the function
+    text.  This turns the pinned fixtures above into a *live*
+    differential: the reference algorithm actually runs here.
+    """
+    path = "/root/reference/src/prediction_helper.py"
+    with open(path) as f:
+        lines = f.readlines()
+    start = next(i for i, l in enumerate(lines)
+                 if l.startswith("def get_recall_at_k_from_dataframe"))
+    end = next(i for i in range(start + 1, len(lines))
+               if lines[i].startswith("def "))
+    src = "".join(lines[start:end])
+    import collections
+    import numpy as np
+    ns = {"collections": collections, "np": np, "pd": pd}
+    exec(compile(src, path, "exec"), ns)
+    return ns["get_recall_at_k_from_dataframe"]
+
+
+def _fuzz_frame(rng):
+    """Random adversarial frame: partial pools, duplicates, ties,
+    out-of-pool / absent / disagreeing ground truth."""
+    m = int(rng.integers(1, 9))
+    n = int(rng.integers(1, 13))
+    p_keep = rng.uniform(0.3, 1.0)
+    quantize = rng.random() < 0.5
+    rows = []
+    gt_for_text = {}
+    for t in range(n):
+        r = rng.random()
+        if r < 0.1:
+            gt_for_text[t] = -1                      # absent gt marker
+        elif r < 0.2:
+            gt_for_text[t] = int(rng.integers(m, m + 3))  # out of pool
+        else:
+            gt_for_text[t] = int(rng.integers(0, m))
+    for i in range(m):
+        for t in range(n):
+            if rng.random() > p_keep:
+                continue
+            score = rng.random()
+            if quantize:
+                score = round(score * 10) / 10.0     # force exact ties
+            gt = gt_for_text[t]
+            if rng.random() < 0.05:                  # disagreeing gt rows
+                gt = int(rng.integers(0, m))
+            rows.append((i, t, gt, score))
+    if not rows:
+        rows.append((0, 0, gt_for_text[0], 0.5))
+    if rng.random() < 0.4 and rows:                  # duplicate observations
+        for _ in range(int(rng.integers(1, 4))):
+            i, t, gt, _score = rows[int(rng.integers(0, len(rows)))]
+            rows.append((i, t, gt, float(rng.random())))
+    return pd.DataFrame(
+        rows, columns=["image_index", "text_index", "gt_image_index", "output"]
+    )
+
+
+class TestRecallLiveDifferential:
+    """Fuzz our bincount/argsort redesign against the reference's own
+    pandas pivot_table code, exec'd from /root/reference (VERDICT r3 #4:
+    upgrade the pinned fixture to a running-reference differential)."""
+
+    def test_reference_source_runs_on_golden_fixture(self):
+        ref = _load_reference_recall()
+        assert dict(ref(_df())) == GOLD
+
+    def test_fuzz_differential(self):
+        import warnings
+
+        ref = _load_reference_recall()
+        rng = np.random.default_rng(20260819)
+        for trial in range(150):
+            df = _fuzz_frame(rng)
+            with warnings.catch_warnings():
+                # the reference's 0/0 divide warns; the values still match
+                warnings.simplefilter("ignore", RuntimeWarning)
+                want = dict(ref(df.copy()))  # reference mutates its input
+            got = dict(get_recall_at_k_from_dataframe(df))
+            assert got == want, (
+                f"trial {trial}: mismatch\nframe:\n{df}\nref: {want}\nours: {got}"
+            )
