@@ -188,7 +188,7 @@ def main(argv=None):
         task = PretrainingTask(cfg.task, cfg.trainer)
         if data_cfg.input_path == "dummy":
             batches = dummy_pretrain_batches(data_cfg, batch_size=local_bsz)
-        else:
+        elif data_cfg.num_workers > 0:
             from mmt_tpu.data.prefetch import multiprocess_batches
 
             batches = multiprocess_batches(
@@ -198,6 +198,13 @@ def main(argv=None):
                 num_workers=data_cfg.num_workers,
                 base_shard=jax.process_index(),
                 total_shards=jax.process_count(),
+            )
+        else:
+            # In-process loader: a checkpointable TrainStream, so resume
+            # continues the input stream exactly (train/loop.py).
+            batches = MmtPretrainLoader(data_cfg).stream(
+                jax.process_index(), jax.process_count(),
+                batch_size=local_bsz,
             )
         if num_pipe > 1:
             num_micro = cfg.runtime.num_pipeline_microbatches or max(
@@ -217,16 +224,22 @@ def main(argv=None):
     else:
         assert isinstance(cfg.task, ClassificationTaskConfig)
         task = ClassificationTask(cfg.task, cfg.trainer)
-        from mmt_tpu.data.prefetch import multiprocess_batches
+        if data_cfg.num_workers > 0:
+            from mmt_tpu.data.prefetch import multiprocess_batches
 
-        batches = multiprocess_batches(
-            lambda s, n: MmtClassificationLoader(data_cfg).load(
-                s, n, batch_size=local_bsz
-            ),
-            num_workers=data_cfg.num_workers,
-            base_shard=jax.process_index(),
-            total_shards=jax.process_count(),
-        )
+            batches = multiprocess_batches(
+                lambda s, n: MmtClassificationLoader(data_cfg).load(
+                    s, n, batch_size=local_bsz
+                ),
+                num_workers=data_cfg.num_workers,
+                base_shard=jax.process_index(),
+                total_shards=jax.process_count(),
+            )
+        else:
+            batches = MmtClassificationLoader(data_cfg).stream(
+                jax.process_index(), jax.process_count(),
+                batch_size=local_bsz,
+            )
         if num_pipe > 1:
             num_micro = cfg.runtime.num_pipeline_microbatches or 2
             train_step = task.make_pipelined_train_step(
@@ -237,12 +250,20 @@ def main(argv=None):
                 mesh=mesh, zero1=cfg.runtime.zero_sharded_optimizer
             )
 
-    train_iter = iter(batches)
-    first = next(train_iter)
+    if hasattr(batches, "state"):
+        # Resumable stream: pre-pull the init batch through a wrapper
+        # that keeps state()/restore() correct while it is queued.
+        from mmt_tpu.data.loaders import ResumablePrefixed
 
-    import itertools
+        train_iter = ResumablePrefixed(batches)
+        first = train_iter.prime()
+    else:
+        train_iter = iter(batches)
+        first = next(train_iter)
 
-    train_iter = itertools.chain([first], train_iter)
+        import itertools
+
+        train_iter = itertools.chain([first], train_iter)
 
     # Validation (train_and_eval / eval modes).
     eval_fn = None

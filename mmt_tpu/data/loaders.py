@@ -16,6 +16,8 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import collections
+import copy
 import glob as globlib
 import itertools
 from typing import Dict, Iterator, List, Optional
@@ -29,7 +31,12 @@ from mmt_tpu.configs.data import (
     MmtRetrievalDataConfig,
 )
 from mmt_tpu.data.assembly import AssembledExample, ExampleAssembler
-from mmt_tpu.data.tfrecord import TFRecordReader, parse_example
+from mmt_tpu.data.tfrecord import (
+    TFRecordReader,
+    iter_open_records,
+    parse_example,
+    skim_open,
+)
 from mmt_tpu.features.masking import MaskingSpec, mask_items, pad_1d
 from mmt_tpu.features.matching import make_matching_features
 from mmt_tpu.features.patches import make_mpp_label_ids
@@ -111,6 +118,120 @@ def _segment_ids(max_seq_len: int, img_wp: int, txt_wp: int) -> np.ndarray:
     return seg.astype(np.int32)
 
 
+class RecordCursor:
+    """Record stream with a checkpointable ``(epoch, pos)`` position.
+
+    Yields exactly the payload sequence the old ``_record_iter``
+    generator did (shard-striding included); ``pos`` counts records
+    *scanned* in the current epoch (pre-stride, i.e. the old loop's
+    ``i``), so ``(epoch, pos)`` fully names a stream position.
+    ``seek`` fast-forwards via TFRecord length-header hops
+    (``tfrecord.skim_open``) -- payloads of skipped records are never
+    read, which is what makes preemption-resume of the input stream
+    cheap (VERDICT r3 #5; reference analog: tf.data has no iterator
+    checkpointing either, SURVEY section 5 "Failure detection").
+    """
+
+    def __init__(self, patterns, shard_index, num_shards, seed, repeat):
+        from mmt_tpu.data import native
+
+        self.patterns = patterns
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.seed = seed
+        self.repeat = repeat
+        self._use_native = native.available()
+        self.epoch = 0
+        self.pos = 0
+        self._files = None       # current epoch's resolved file list
+        self._stride = False
+        self._file_idx = 0
+        self._file_start = 0     # pos at which the current file began
+        self._rec_iter = None    # iterator over the current file
+
+    def __iter__(self):
+        return self
+
+    def _load_epoch(self) -> None:
+        self._files, self._stride = _glob_shard(
+            self.patterns, self.shard_index, self.num_shards,
+            seed=self.seed, epoch=self.epoch,
+        )
+        self.pos = 0
+        self._file_idx = 0
+        self._file_start = 0
+        self._rec_iter = None
+
+    def _open_file(self, path):
+        if self._use_native:
+            from mmt_tpu.data import native
+
+            return iter(native.iter_records(path))
+        return iter(TFRecordReader(path))
+
+    def __next__(self):
+        while True:
+            if self._files is None:
+                self._load_epoch()
+            if self._rec_iter is None:
+                if self._file_idx >= len(self._files):
+                    if not self.repeat:
+                        raise StopIteration
+                    self.epoch += 1
+                    self._load_epoch()
+                    continue
+                self._rec_iter = self._open_file(self._files[self._file_idx])
+            try:
+                rec = next(self._rec_iter)
+            except StopIteration:
+                self._rec_iter = None
+                self._file_idx += 1
+                self._file_start = self.pos
+                continue
+            i = self.pos
+            self.pos = i + 1
+            if not self._stride or i % self.num_shards == self.shard_index:
+                return rec
+
+    def state(self):
+        return (self.epoch, self.pos)
+
+    def seek(self, epoch: int, pos: int) -> None:
+        """Positions the cursor so the next record returned is the one
+        the stream would have produced after scanning ``pos`` records of
+        ``epoch``.  Forward seeks from the current position reuse the
+        already-scanned prefix; backward seeks restart the epoch walk."""
+        if (self._files is not None
+                and (epoch, pos) == (self.epoch, self.pos)
+                and self._rec_iter is not None):
+            return
+        behind = self._files is not None and (
+            epoch < self.epoch
+            or (epoch == self.epoch and pos < self._file_start)
+        )
+        if self._files is None or epoch != self.epoch or behind:
+            self.epoch = epoch
+            self._load_epoch()
+        # Walk files from the current file, header-hopping `pos -
+        # file_start` records into it; files that end earlier roll over.
+        self._rec_iter = None
+        while True:
+            if self._file_idx >= len(self._files):
+                # Position is the epoch end (pos == epoch size): the next
+                # __next__ rolls into the next epoch (or stops).
+                self.pos = pos
+                return
+            need = pos - self._file_start
+            n, f = skim_open(self._files[self._file_idx], need)
+            if f is None:  # file has only n (< need) records
+                self._file_start += n
+                self._file_idx += 1
+                continue
+            self._rec_iter = iter_open_records(f)
+            self.pos = pos
+            return
+
+
 class _BaseLoader:
     def __init__(self, config: MmtDataConfig, tokenizer: Optional[BertTokenizer] = None):
         self.config = config
@@ -124,25 +245,7 @@ class _BaseLoader:
         self.assembler = ExampleAssembler(config, tokenizer)
 
     def _record_iter(self, patterns, shard_index, num_shards, seed, repeat):
-        from mmt_tpu.data import native
-
-        use_native = native.available()
-        epoch = 0
-        while True:
-            files, stride_records = _glob_shard(
-                patterns, shard_index, num_shards, seed=seed, epoch=epoch
-            )
-            epoch += 1
-            i = 0
-            for path in files:
-                records = (native.iter_records(path) if use_native
-                           else TFRecordReader(path))
-                for rec in records:
-                    if not stride_records or i % num_shards == shard_index:
-                        yield rec
-                    i += 1
-            if not repeat:
-                return
+        return RecordCursor(patterns, shard_index, num_shards, seed, repeat)
 
     def _decode(self, payload: bytes, rng, is_training: bool) -> AssembledExample:
         cfg = self.config
@@ -283,45 +386,40 @@ class MmtPretrainLoader(_BaseLoader):
     def load(
         self, shard_index: int = 0, num_shards: int = 1, batch_size: Optional[int] = None
     ) -> Iterator[Dict[str, np.ndarray]]:
+        return iter(self.stream(shard_index, num_shards, batch_size))
+
+    def stream(
+        self, shard_index: int = 0, num_shards: int = 1, batch_size: Optional[int] = None
+    ) -> "TrainStream":
+        """The batch iterator as a checkpointable ``TrainStream``."""
         cfg = self.cfg
         batch_size = batch_size or cfg.global_batch_size
-        rng = np.random.default_rng(cfg.seed + shard_index)
         do_itm = "itm" in (cfg.tasks or "")
-
-        records = self._record_iter(
-            cfg.input_path, shard_index, num_shards, cfg.seed,
-            repeat=cfg.is_training,
-        )
         # ITM doubles the batch (ratio 1): collect half per matching call.
-        matching_bsz = batch_size // 2 if do_itm else batch_size
+        # Post-match shuffle: unbatch the matched examples through a
+        # shuffle buffer before rebatching, so every emitted batch (and
+        # micro-batch under grad accumulation) mixes positives and
+        # negatives (src/data/pretrain_dataloader.py:213-215).
+        return TrainStream(
+            self, shard_index, num_shards, batch_size=batch_size,
+            collect=batch_size // 2 if do_itm else batch_size,
+            shuffle_size=cfg.shuffle_buffer_size,
+            shuffled=do_itm and cfg.is_training,
+        )
 
-        def matched_batches():
-            examples, keys = [], []
-            for payload in records:
-                ex = self._decode(payload, rng, cfg.is_training)
-                # Short-text filter (src/data/pretrain_dataloader.py:152-163).
-                if ex.num_text_wordpieces < self.cfg.min_text_wordpieces:
-                    continue
-                examples.append(self._mask_example(ex, rng))
-                keys.append(ex.extras.get("image_key", len(keys)))
-                if len(examples) == matching_bsz:
-                    yield self._finalize_batch(examples, keys, do_itm)
-                    examples, keys = [], []
-
-        if do_itm and cfg.is_training:
-            # Post-match shuffle: unbatch the matched examples through a
-            # shuffle buffer before rebatching, so every emitted batch
-            # (and micro-batch under grad accumulation) mixes positives
-            # and negatives (src/data/pretrain_dataloader.py:213-215).
-            stream = itertools.chain.from_iterable(
-                _unbatch(b) for b in matched_batches()
-            )
-            yield from _rebatch(
-                _shuffle_stream(stream, cfg.shuffle_buffer_size, rng),
-                batch_size, drop_remainder=cfg.is_training,
-            )
-        else:
-            yield from matched_batches()
+    def _collect_batch(self, records, rng, collect) -> Dict[str, np.ndarray]:
+        """Consumes records until one matched batch is assembled."""
+        cfg = self.cfg
+        do_itm = "itm" in (cfg.tasks or "")
+        examples, keys = [], []
+        while len(examples) < collect:
+            ex = self._decode(next(records), rng, cfg.is_training)
+            # Short-text filter (src/data/pretrain_dataloader.py:152-163).
+            if ex.num_text_wordpieces < self.cfg.min_text_wordpieces:
+                continue
+            examples.append(self._mask_example(ex, rng))
+            keys.append(ex.extras.get("image_key", len(keys)))
+        return self._finalize_batch(examples, keys, do_itm)
 
     def _finalize_batch(self, examples, keys, do_itm) -> Dict[str, np.ndarray]:
         batch = {k: np.stack([e[k] for e in examples]) for k in examples[0]}
@@ -360,38 +458,31 @@ class MmtClassificationLoader(_BaseLoader):
     def load(
         self, shard_index: int = 0, num_shards: int = 1, batch_size: Optional[int] = None
     ) -> Iterator[Dict[str, np.ndarray]]:
+        return iter(self.stream(shard_index, num_shards, batch_size))
+
+    def stream(
+        self, shard_index: int = 0, num_shards: int = 1, batch_size: Optional[int] = None
+    ) -> "TrainStream":
+        """The batch iterator as a checkpointable ``TrainStream``."""
         cfg = self.cfg
         batch_size = batch_size or cfg.global_batch_size
         ratio = cfg.negative_positive_ratio
-        collect = max(1, batch_size // (ratio + 1))
-        rng = np.random.default_rng(cfg.seed + shard_index)
-        records = self._record_iter(
-            cfg.input_path, shard_index, num_shards, cfg.seed,
-            repeat=cfg.is_training,
+        # Post-match shuffle before rebatching, mixing positives and
+        # negatives per batch (src/data/classification_dataloader.py:180).
+        return TrainStream(
+            self, shard_index, num_shards, batch_size=batch_size,
+            collect=max(1, batch_size // (ratio + 1)),
+            shuffle_size=cfg.shuffle_buffer_size,
+            shuffled=cfg.is_training,
         )
 
-        def matched_batches():
-            examples, keys = [], []
-            for payload in records:
-                ex = self._decode(payload, rng, cfg.is_training)
-                examples.append(self._features(ex))
-                keys.append(ex.extras.get("image_key", len(keys)))
-                if len(examples) == collect:
-                    yield self._finalize(examples, keys)
-                    examples, keys = [], []
-
-        if cfg.is_training:
-            # Post-match shuffle before rebatching, mixing positives and
-            # negatives per batch (src/data/classification_dataloader.py:180).
-            stream = itertools.chain.from_iterable(
-                _unbatch(b) for b in matched_batches()
-            )
-            yield from _rebatch(
-                _shuffle_stream(stream, cfg.shuffle_buffer_size, rng),
-                batch_size, drop_remainder=True,
-            )
-        else:
-            yield from matched_batches()
+    def _collect_batch(self, records, rng, collect) -> Dict[str, np.ndarray]:
+        examples, keys = [], []
+        while len(examples) < collect:
+            ex = self._decode(next(records), rng, self.cfg.is_training)
+            examples.append(self._features(ex))
+            keys.append(ex.extras.get("image_key", len(keys)))
+        return self._finalize(examples, keys)
 
     def _features(self, ex: AssembledExample) -> Dict[str, np.ndarray]:
         text_ids = pad_1d(
@@ -586,3 +677,195 @@ class MmtRetrievalLoader(_BaseLoader):
         else:
             out["patch_embeddings"] = patches
         return out
+
+
+class _Item:
+    """A row in flight between unbatching and rebatching, tagged with the
+    matched batch it came from (for provenance-based stream snapshots)."""
+
+    __slots__ = ("row", "bid", "idx")
+
+    def __init__(self, row, bid, idx):
+        self.row = row
+        self.bid = bid
+        self.idx = idx
+
+
+class TrainStream:
+    """Checkpointable training batch iterator for both training loaders.
+
+    Yields byte-for-byte the sequence the generator pipeline used to
+    yield (accumulate -> finalize -> unbatch -> shuffle buffer ->
+    rebatch, one shared rng in the identical draw order), and adds
+    ``state()`` / ``restore()`` so preemption-resume continues the input
+    stream exactly where it left off instead of replaying epoch 0
+    (VERDICT r3 #5; the reference/TFM never checkpointed tf.data
+    iterators -- match-and-exceed of src/tasks/pretraining.py
+    restart-resume semantics).
+
+    Snapshots are provenance-based so they stay small (~100 KB, no
+    example payloads): every matched batch records the (epoch, pos,
+    rng-state) it was produced from; ``restore`` replays only the
+    matched batches with rows still alive in the shuffle buffer /
+    pending queue, walking the record files once in position order
+    (skipped spans are header-hops -- ``RecordCursor.seek`` -- so only
+    ~shuffle_buffer_size examples are re-decoded).
+    """
+
+    def __init__(self, loader, shard_index: int, num_shards: int, *,
+                 batch_size: int, collect: int, shuffle_size: int,
+                 shuffled: bool):
+        cfg = loader.cfg
+        self._loader = loader
+        self._cursor_args = (cfg.input_path, shard_index, num_shards,
+                             cfg.seed, cfg.is_training)
+        self._cursor = RecordCursor(*self._cursor_args)
+        self._rng = np.random.default_rng(cfg.seed + shard_index)
+        self._batch_size = batch_size
+        self._collect = collect
+        self._shuffle_size = shuffle_size
+        self._shuffled = shuffled
+        self._pending: collections.deque = collections.deque()
+        self._shufbuf: Optional[List[_Item]] = None
+        self._prov: Dict[int, tuple] = {}
+        self._refs: Dict[int, int] = {}
+        self._next_bid = 0
+
+    def __iter__(self):
+        return self
+
+    def _next_matched(self) -> Dict[str, np.ndarray]:
+        prov = (self._cursor.epoch, self._cursor.pos,
+                copy.deepcopy(self._rng.bit_generator.state))
+        batch = self._loader._collect_batch(self._cursor, self._rng,
+                                            self._collect)
+        if self._shuffled:
+            bid = self._next_bid
+            self._next_bid += 1
+            rows = list(_unbatch(batch))
+            self._prov[bid] = prov
+            self._refs[bid] = len(rows)
+            self._pending.extend(
+                _Item(row, bid, i) for i, row in enumerate(rows))
+        return batch
+
+    def _pull(self) -> _Item:
+        if not self._pending:
+            self._next_matched()
+        return self._pending.popleft()
+
+    def _shuffle_next(self) -> _Item:
+        if self._shuffle_size <= 0:
+            return self._pull()
+        if self._shufbuf is None:
+            self._shufbuf = [self._pull() for _ in range(self._shuffle_size)]
+        item = self._pull()
+        i = int(self._rng.integers(len(self._shufbuf)))
+        out = self._shufbuf[i]
+        self._shufbuf[i] = item
+        return out
+
+    def _release(self, item: _Item) -> None:
+        self._refs[item.bid] -= 1
+        if not self._refs[item.bid]:
+            del self._refs[item.bid]
+            del self._prov[item.bid]
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        if not self._shuffled:
+            # Direct emission (eval / non-ITM pretraining): one matched
+            # batch per output batch, trailing partial dropped by the
+            # StopIteration from the record cursor (old semantics).
+            return self._next_matched()
+        items = [self._shuffle_next() for _ in range(self._batch_size)]
+        batch = {k: np.stack([it.row[k] for it in items])
+                 for k in items[0].row}
+        for it in items:
+            self._release(it)
+        return batch
+
+    # ------------------------------------------------- snapshot/restore
+
+    def state(self) -> dict:
+        """Snapshot at a batch boundary; pickle-able, payload-free."""
+        st = {
+            "version": 1,
+            "shuffled": self._shuffled,
+            "cursor": self._cursor.state(),
+            "rng": copy.deepcopy(self._rng.bit_generator.state),
+        }
+        if self._shuffled:
+            st["prov"] = dict(self._prov)
+            st["shufbuf"] = (None if self._shufbuf is None else
+                             [(it.bid, it.idx) for it in self._shufbuf])
+            st["pending"] = [(it.bid, it.idx) for it in self._pending]
+            st["next_bid"] = self._next_bid
+        return st
+
+    def restore(self, st: dict) -> None:
+        if st.get("version") != 1:
+            raise ValueError(f"unknown stream-state version: {st.get('version')}")
+        if bool(st["shuffled"]) != self._shuffled:
+            raise ValueError("stream state does not match this loader config")
+        self._rng.bit_generator.state = copy.deepcopy(st["rng"])
+        if not self._shuffled:
+            self._cursor.seek(*st["cursor"])
+            return
+        # Replay the live matched batches in stream order: one forward
+        # walk, header-hopping the gaps between them.
+        rows_of: Dict[int, List[dict]] = {}
+        tmp_rng = np.random.default_rng()
+        for bid, (epoch, pos, rstate) in sorted(
+                st["prov"].items(), key=lambda kv: (kv[1][0], kv[1][1])):
+            self._cursor.seek(epoch, pos)
+            tmp_rng.bit_generator.state = copy.deepcopy(rstate)
+            batch = self._loader._collect_batch(self._cursor, tmp_rng,
+                                                self._collect)
+            rows_of[bid] = list(_unbatch(batch))
+
+        def make(ref):
+            bid, idx = ref
+            return _Item(rows_of[bid][idx], bid, idx)
+
+        self._shufbuf = (None if st["shufbuf"] is None else
+                         [make(r) for r in st["shufbuf"]])
+        self._pending = collections.deque(make(r) for r in st["pending"])
+        self._prov = dict(st["prov"])
+        refs = collections.Counter(it.bid for it in (self._shufbuf or []))
+        refs.update(it.bid for it in self._pending)
+        self._refs = dict(refs)
+        self._next_bid = st["next_bid"]
+        self._cursor.seek(*st["cursor"])
+
+
+class ResumablePrefixed:
+    """Lets a caller pre-pull the first batch (for shape/param init)
+    from a resumable stream and still hand the loop a correct
+    state()/restore() surface: while the pre-pulled batch is queued,
+    ``state()`` reports the stream position from *before* it was pulled,
+    and ``restore()`` drops the stale queue."""
+
+    def __init__(self, stream: TrainStream):
+        self._stream = stream
+        self._st0 = stream.state()
+        self._prefix: List[Dict[str, np.ndarray]] = []
+
+    def prime(self) -> Dict[str, np.ndarray]:
+        first = next(self._stream)
+        self._prefix = [first]
+        return first
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._prefix:
+            return self._prefix.pop(0)
+        return next(self._stream)
+
+    def state(self) -> dict:
+        return self._st0 if self._prefix else self._stream.state()
+
+    def restore(self, st: dict) -> None:
+        self._prefix = []
+        self._stream.restore(st)

@@ -96,6 +96,45 @@ class TFRecordReader:
                 yield payload
 
 
+def skim_open(path: str, skip: int):
+    """Opens ``path`` seeked past up to ``skip`` records without reading
+    payloads (length-header hops only -- the cheap fast-forward used by
+    resumable input streams, ``loaders.RecordCursor.seek``).
+
+    Returns ``(n, f)``: ``n`` records were skipped; ``f`` is the
+    positioned file object, or None when the file ended before ``skip``
+    records (then ``n`` is the file's record count).
+    """
+    f = open(path, "rb")
+    n = 0
+    while n < skip:
+        header = f.read(8)
+        if len(header) < 8:
+            f.close()
+            return n, None
+        (length,) = struct.unpack("<Q", header)
+        f.seek(length + 8, 1)  # header crc (4) + payload + payload crc (4)
+        n += 1
+    return n, f
+
+
+def iter_open_records(f) -> Iterator[bytes]:
+    """Yields payloads from an already-positioned TFRecord file object
+    (the continuation reader after ``skim_open``); closes it at the end."""
+    with f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return
+            (length,) = struct.unpack("<Q", header)
+            f.seek(4, 1)
+            payload = f.read(length)
+            pcrc = f.read(4)
+            if len(payload) < length or len(pcrc) < 4:
+                raise IOError("truncated TFRecord")
+            yield payload
+
+
 # ------------------------------------------------------ protobuf en/decode
 
 

@@ -13,6 +13,7 @@ import contextlib
 import json
 import logging
 import os
+import pickle
 import time
 from typing import Callable, Dict, Iterator, Optional
 
@@ -65,6 +66,58 @@ class SummaryWriter:
         if self._tb is not None:
             self._tb.close()
             self._tb = None
+
+
+def _stream_state_path(model_dir: str, step: int) -> str:
+    return os.path.join(
+        model_dir, "data_stream", f"step_{step}_p{jax.process_index()}.pkl"
+    )
+
+
+def _save_stream_state(model_dir: str, step: int, train_iter) -> None:
+    """Persists the input-stream position next to the model checkpoint
+    (per process: each owns its shard's stream).  No-op for iterators
+    without a ``state()`` surface (dummy data, multiprocess prefetch)."""
+    if not hasattr(train_iter, "state"):
+        return
+    path = _stream_state_path(model_dir, step)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(train_iter.state(), f)
+    os.replace(tmp, path)
+    # Keep the two most recent snapshots for this process.
+    suffix = f"_p{jax.process_index()}.pkl"
+    steps = sorted(
+        int(name[len("step_"):-len(suffix)])
+        for name in os.listdir(os.path.dirname(path))
+        if name.startswith("step_") and name.endswith(suffix)
+    )
+    for old in steps[:-2]:
+        try:
+            os.remove(_stream_state_path(model_dir, old))
+        except OSError:
+            pass
+
+
+def _restore_stream_state(model_dir: str, step: int, train_iter) -> None:
+    """Fast-forwards ``train_iter`` to where it was at ``step``'s save.
+
+    Without a snapshot (older checkpoints, multiprocess loaders) the
+    stream restarts at epoch 0 -- the reference's own behavior (TFM
+    never checkpointed tf.data iterators); with one, the resumed run
+    consumes exactly the batches the uninterrupted run would have."""
+    if not hasattr(train_iter, "restore"):
+        return
+    path = _stream_state_path(model_dir, step)
+    if not os.path.exists(path):
+        logger.warning(
+            "no input-stream snapshot for step %d: the stream restarts "
+            "from epoch 0 (early batches replay)", step)
+        return
+    with open(path, "rb") as f:
+        train_iter.restore(pickle.load(f))
+    logger.info("input stream resumed at step %d (no replay)", step)
 
 
 def run_training(
@@ -125,6 +178,7 @@ def run_training(
         )
         start_step = latest
         logger.info("resumed from checkpoint at step %d", latest)
+        _restore_stream_state(model_dir, latest, train_iter)
 
     # Metric accumulation stays ON DEVICE between loop boundaries: the
     # (total, count) pairs are jax arrays and the additions below enqueue
@@ -170,6 +224,7 @@ def run_training(
                 # array would throw), and the async saver's device->host
                 # copy happens before the next step can donate the buffers.
                 ckpt.save(step, state.params, state.opt_state)
+                _save_stream_state(model_dir, step, train_iter)
 
             if eval_fn is not None and (
                 step % trainer.validation_interval == 0 or step == trainer.train_steps
@@ -189,6 +244,7 @@ def run_training(
                     and watcher.should_save(at_boundary)):
                 if step % trainer.checkpoint_interval != 0:
                     ckpt.save(step, state.params, state.opt_state)
+                    _save_stream_state(model_dir, step, train_iter)
                 ckpt.wait_until_finished()
                 writer.close()
                 if val_writer is not None:

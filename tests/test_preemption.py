@@ -141,3 +141,107 @@ def test_no_preemption_at_final_step(tmp_path):
     )
     assert int(done.step) == 2
     assert CheckpointManager(str(tmp_path / "m")).latest_step() == 2
+
+
+class _FakeResumableStream:
+    """TrainStream-shaped counter stream: records how many batches were
+    consumed and what position a restore landed on.  The batch-level
+    exactness of the real TrainStream is pinned in test_data_resume.py;
+    these tests pin the LOOP's save/restore wiring."""
+
+    def __init__(self, batch):
+        self.batch = batch
+        self.i = 0
+        self.restored_to = None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self.i += 1
+        return self.batch
+
+    def state(self):
+        return {"i": self.i}
+
+    def restore(self, st):
+        self.i = st["i"]
+        self.restored_to = st["i"]
+
+
+def test_resume_continues_input_stream_exactly(tmp_path):
+    """VERDICT r3 #5: the resumed run consumes exactly the batches the
+    uninterrupted run would have -- no replay of early batches."""
+    task = make_pretrain_task()
+    batch = pretrain_batch()
+    params = task.init(jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(OptimizationConfig(), train_steps=8)
+    trainer = TrainerConfig(
+        train_steps=5, steps_per_loop=1, summary_interval=100,
+        checkpoint_interval=2, validation_interval=1000,
+    )
+    model_dir = str(tmp_path / "m")
+    state = TrainState.create(params, tx)
+    s1 = _FakeResumableStream(batch)
+    run_training(
+        train_step=task.make_train_step(), state=state, train_iter=s1,
+        trainer=trainer, model_dir=model_dir, rng=jax.random.PRNGKey(0),
+    )
+    assert s1.i == 5  # one batch per step
+    # Snapshots exist beside the checkpoints (latest two kept).
+    sdir = os.path.join(model_dir, "data_stream")
+    assert sorted(os.listdir(sdir)) == ["step_4_p0.pkl", "step_5_p0.pkl"]
+
+    # "Restart": fresh state + fresh stream; extend to 8 steps.
+    params2 = task.init(jax.random.PRNGKey(0), batch)
+    state2 = TrainState.create(params2, tx)
+    s2 = _FakeResumableStream(batch)
+    done = run_training(
+        train_step=task.make_train_step(), state=state2, train_iter=s2,
+        trainer=trainer.replace(train_steps=8),
+        model_dir=model_dir, rng=jax.random.PRNGKey(0),
+    )
+    assert int(done.step) == 8
+    assert s2.restored_to == 5      # fast-forwarded, not replayed
+    assert s2.i == 8                # consumed exactly batches 6, 7, 8
+
+
+def test_preemption_save_includes_stream_state(tmp_path):
+    task = make_pretrain_task()
+    batch = pretrain_batch()
+    params = task.init(jax.random.PRNGKey(0), batch)
+    tx = create_optimizer(OptimizationConfig(), train_steps=50)
+    trainer = TrainerConfig(
+        train_steps=50, steps_per_loop=1, summary_interval=100,
+        checkpoint_interval=100, validation_interval=1000,
+    )
+    model_dir = str(tmp_path / "m")
+    state = TrainState.create(params, tx)
+
+    class _SignalStream(_FakeResumableStream):
+        def __next__(self):
+            if self.i == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return super().__next__()
+
+    s = _SignalStream(batch)
+    with pytest.raises(TrainingPreempted) as exc:
+        run_training(
+            train_step=task.make_train_step(), state=state, train_iter=s,
+            trainer=trainer, model_dir=model_dir, rng=jax.random.PRNGKey(0),
+        )
+    step = exc.value.step
+    assert os.path.exists(
+        os.path.join(model_dir, "data_stream", f"step_{step}_p0.pkl"))
+
+    # Resume: the stream restores to the preemption point.
+    params2 = task.init(jax.random.PRNGKey(0), batch)
+    state2 = TrainState.create(params2, tx)
+    s2 = _FakeResumableStream(batch)
+    run_training(
+        train_step=task.make_train_step(), state=state2, train_iter=s2,
+        trainer=trainer.replace(train_steps=step + 2),
+        model_dir=model_dir, rng=jax.random.PRNGKey(0),
+    )
+    assert s2.restored_to == step
+    assert s2.i == step + 2
