@@ -189,12 +189,10 @@ def main(argv=None):
         if data_cfg.input_path == "dummy":
             batches = dummy_pretrain_batches(data_cfg, batch_size=local_bsz)
         elif data_cfg.num_workers > 0:
-            from mmt_tpu.data.prefetch import multiprocess_batches
+            from mmt_tpu.data.prefetch import LoaderShard, multiprocess_batches
 
             batches = multiprocess_batches(
-                lambda s, n: MmtPretrainLoader(data_cfg).load(
-                    s, n, batch_size=local_bsz
-                ),
+                LoaderShard(MmtPretrainLoader, data_cfg, local_bsz),
                 num_workers=data_cfg.num_workers,
                 base_shard=jax.process_index(),
                 total_shards=jax.process_count(),
@@ -225,12 +223,10 @@ def main(argv=None):
         assert isinstance(cfg.task, ClassificationTaskConfig)
         task = ClassificationTask(cfg.task, cfg.trainer)
         if data_cfg.num_workers > 0:
-            from mmt_tpu.data.prefetch import multiprocess_batches
+            from mmt_tpu.data.prefetch import LoaderShard, multiprocess_batches
 
             batches = multiprocess_batches(
-                lambda s, n: MmtClassificationLoader(data_cfg).load(
-                    s, n, batch_size=local_bsz
-                ),
+                LoaderShard(MmtClassificationLoader, data_cfg, local_bsz),
                 num_workers=data_cfg.num_workers,
                 base_shard=jax.process_index(),
                 total_shards=jax.process_count(),

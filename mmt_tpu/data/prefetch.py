@@ -18,10 +18,30 @@ wrap any loader factory directly:
 from __future__ import annotations
 
 import multiprocessing as mp
+import pickle
 import queue as queue_lib
-from typing import Callable, Iterator
+import warnings
+from typing import Callable, Iterator, Optional
 
 _STOP = "__stop__"
+
+
+class LoaderShard:
+    """Picklable ``loader_fn``: workers run under the *spawn* start
+    method (fork from a multi-threaded JAX parent risks deadlocks), so
+    the callable crossing the process boundary must pickle.  Configs are
+    plain dataclasses and loader classes resolve by module path; each
+    worker constructs its own loader."""
+
+    def __init__(self, loader_cls, config, batch_size: Optional[int] = None):
+        self.loader_cls = loader_cls
+        self.config = config
+        self.batch_size = batch_size
+
+    def __call__(self, shard: int, num_shards: int) -> Iterator[dict]:
+        return self.loader_cls(self.config).load(
+            shard, num_shards, batch_size=self.batch_size
+        )
 
 
 def _worker(loader_fn, shard, num_shards, out_queue, prefetch):
@@ -50,7 +70,16 @@ def multiprocess_batches(
         yield from loader_fn(base_shard, total_shards)
         return
 
-    ctx = mp.get_context("fork")
+    try:
+        pickle.dumps(loader_fn)
+        ctx = mp.get_context("spawn")
+    except Exception:
+        warnings.warn(
+            "loader_fn is not picklable: falling back to fork workers "
+            "(pass a prefetch.LoaderShard to use spawn, which is safe "
+            "under a multi-threaded JAX parent)"
+        )
+        ctx = mp.get_context("fork")
     queues = []
     procs = []
     for i in range(num_workers):

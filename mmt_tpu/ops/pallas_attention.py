@@ -1510,7 +1510,7 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     if (rel_vocab and static_offsets and seq_len == k.shape[1]
             and geometry is not None and geometry.window > 0
             and os.environ.get("MMT_ATTN_WINDOW_GRID", "list") == "list"):
-        wlist = _window_tile_list(geometry, seq_len, block_q, block_k)
+        wlist = _window_tile_list(geometry, seq_len, block_q, block_k, "q")
         qoff = jnp.stack([
             jnp.asarray(q_start, jnp.int32),
             jnp.asarray(k_start, jnp.int32),
@@ -1584,6 +1584,85 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
 # =============================================================== backward
 
 
+def _bwd_tile_core(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
+                   meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref, *,
+                   geo, rel_vocab, block_q, block_k, hb, softmax_scale,
+                   dropout_rate):
+    """Shared per-tile backward body (one copy for every kernel shell:
+    rect/list x dq/dkv/fused -- ADVICE r3 #1).  Rebuilds the masked
+    logits, p = exp(s - lse) and ds = p * (dp - delta) for each packed
+    head.
+
+    Returns ``(qs, ks, dss, p_vs, dos)``: ``qs`` come pre-scaled when
+    the softmax scale is a power of two (so dK sums accumulated from
+    them arrive already scaled -- exact, see the finalize paths);
+    ``p_vs`` carry the dropout mask (dV must see the dropped
+    probabilities).  Unused returns are dead code the compiler drops
+    (e.g. ``p_vs`` in a dq-only shell).
+    """
+    prescale = _prescale_on(softmax_scale)
+    qs = [q_ref[0, hh] for hh in range(hb)]
+    if prescale:
+        qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
+    ks = [k_ref[0, hh] for hh in range(hb)]
+    ss = [
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for q, k in zip(qs, ks)
+    ]
+    if rel_vocab:
+        qrs = [
+            jax.lax.dot_general(
+                q, rel_ref[hh], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hh, q in enumerate(qs)
+        ]
+        biases = _tile_bias_multi(
+            qrs, meta_ref, t, q_base, k_base, ss[0].shape, geo,
+            rel_vocab, block_q, block_k,
+        )
+        ss = [s + bias for s, bias in zip(ss, biases)]
+    if not prescale:
+        ss = [s * softmax_scale for s in ss]
+
+    ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
+    ss = _apply_window_mask(ss, geo, q_base, k_base)
+
+    dss, p_vs, dos = [], [], []
+    for hh, s in enumerate(ss):
+        lse = lse_ref[0, hh, :, 0]  # [bq]
+        # Dead rows (no live tiles anywhere: fully-padded queries) carry
+        # lse = -inf; clamp so p underflows to 0 instead of
+        # exp(s + inf) = inf poisoning the dRel contraction.
+        lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
+        p = jnp.exp(s - lse[:, None])
+        do = do_ref[0, hh].astype(jnp.float32)
+        v_tile = v_ref[0, hh].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_v = p
+        if dropout_rate:
+            # d(dropout): same mask as the forward, regenerated.
+            head = hgrp * hb + hh
+            keep = _dropout_tile(
+                qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base,
+                dp.shape, dropout_rate,
+            )
+            dp = dp * keep
+            p_v = p * keep
+        delta = delta_ref[0, hh, :, 0]  # [bq]
+        ds = p * (dp - delta[:, None])  # [bq, bk]
+        dss.append(ds)
+        p_vs.append(p_v)
+        dos.append(do)
+    return qs, ks, dss, p_vs, dos
+
+
 def _bwd_dq_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
@@ -1621,60 +1700,13 @@ def _bwd_dq_kernel(
 
     @pl.when(_tile_run(geo, q_base, k_base, length, block_q, block_k))
     def _body():
-        qs = [q_ref[0, hh] for hh in range(hb)]
-        if prescale:
-            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
-        ks = [k_ref[0, hh] for hh in range(hb)]
-        ss = [
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for q, k in zip(qs, ks)
-        ]
-        if rel_vocab:
-            qrs = [
-                jax.lax.dot_general(
-                    q, rel_ref[hh], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for hh, q in enumerate(qs)
-            ]
-            biases = _tile_bias_multi(
-                qrs, meta_ref, t, q_base, k_base, ss[0].shape, geo,
-                rel_vocab, block_q, block_k,
-            )
-            ss = [s + bias for s, bias in zip(ss, biases)]
-        if not prescale:
-            ss = [s * softmax_scale for s in ss]
-
-        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
-        ss = _apply_window_mask(ss, geo, q_base, k_base)
-
-        dss = []
-        for hh, s in enumerate(ss):
-            lse = lse_ref[0, hh, :, 0]  # [bq]
-            # Dead rows (no live tiles anywhere: fully-padded queries)
-            # carry lse = -inf; clamp so p underflows to 0 instead of
-            # exp(s + inf) = inf poisoning the dRel contraction.
-            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
-            p = jnp.exp(s - lse[:, None])
-            do = do_ref[0, hh].astype(jnp.float32)
-            v_tile = v_ref[0, hh].astype(jnp.float32)
-            dp = jax.lax.dot_general(
-                do, v_tile, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if dropout_rate:
-                # d(dropout): same mask as the forward, regenerated.
-                head = hgrp * hb + hh
-                keep = _dropout_tile(
-                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base, dp.shape, dropout_rate
-                )
-                dp = dp * keep
-            delta = delta_ref[0, hh, :, 0]  # [bq]
-            ds = p * (dp - delta[:, None])  # [bq, bk]
-            dss.append(ds)
+        qs, ks, dss, _p_vs, _dos = _bwd_tile_core(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
+            meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref,
+            geo=geo, rel_vocab=rel_vocab, block_q=block_q, block_k=block_k,
+            hb=hb, softmax_scale=softmax_scale, dropout_rate=dropout_rate,
+        )
+        for hh, ds in enumerate(dss):
             dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
                 ds, ks[hh].astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1740,63 +1772,18 @@ def _bwd_dkv_kernel(
 
     @pl.when(_tile_run(geo, q_base, k_base, length, block_q, block_k))
     def _body():
-        qs = [q_ref[0, hh] for hh in range(hb)]
-        if prescale:
-            # The prescaled q also feeds the dK accumulation below, so
-            # dk_acc arrives already scaled and _finalize skips its
-            # multiply (a pow2 scale distributes exactly over the dot
-            # sums -- bit-identical to scaling afterwards).
-            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
-        ks = [k_ref[0, hh] for hh in range(hb)]
-        ss = [
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for q, k in zip(qs, ks)
-        ]
-        if rel_vocab:
-            qrs = [
-                jax.lax.dot_general(
-                    q, rel_ref[hh], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                for hh, q in enumerate(qs)
-            ]
-            biases = _tile_bias_multi(
-                qrs, meta_ref, t, q_base, k_base, ss[0].shape, geo,
-                rel_vocab, block_q, block_k,
-            )
-            ss = [s + bias for s, bias in zip(ss, biases)]
-        if not prescale:
-            ss = [s * softmax_scale for s in ss]
-
-        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
-        ss = _apply_window_mask(ss, geo, q_base, k_base)
-
-        for hh, s in enumerate(ss):
-            lse = lse_ref[0, hh, :, 0]
-            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
-            p = jnp.exp(s - lse[:, None])  # [bq, bk]
-            do = do_ref[0, hh].astype(jnp.float32)
-            v_tile = v_ref[0, hh].astype(jnp.float32)
-            dp = jax.lax.dot_general(
-                do, v_tile, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            p_v = p
-            if dropout_rate:
-                head = hgrp * hb + hh
-                keep = _dropout_tile(
-                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base, dp.shape, dropout_rate
-                )
-                dp = dp * keep
-                p_v = p * keep  # dV sees the dropped probabilities
-            delta = delta_ref[0, hh, :, 0]
-            ds = p * (dp - delta[:, None])
-
+        # The prescaled qs also feed the dK accumulation, so dk_acc
+        # arrives already scaled and _finalize skips its multiply (a
+        # pow2 scale distributes exactly over the dot sums).
+        qs, _ks, dss, p_vs, dos = _bwd_tile_core(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
+            meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref,
+            geo=geo, rel_vocab=rel_vocab, block_q=block_q, block_k=block_k,
+            hb=hb, softmax_scale=softmax_scale, dropout_rate=dropout_rate,
+        )
+        for hh, ds in enumerate(dss):
             dv_acc[hh] = dv_acc[hh] + jax.lax.dot_general(
-                p_v, do, (((0,), (0,)), ((), ())),
+                p_vs[hh], dos[hh], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dk_acc[hh] = dk_acc[hh] + jax.lax.dot_general(
@@ -1815,6 +1802,125 @@ def _bwd_dkv_kernel(
                     dk_acc[hh] * softmax_scale
                 ).astype(dk_ref.dtype)
             dv_ref[0, hh] = dv_acc[hh].astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(
+    lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+    delta_ref, *rest,
+    geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
+    dropout_rate=0.0,
+):
+    """One-pass backward: dq + dRel + dk + dv from a single tile sweep.
+
+    The split backward (``_bwd_dq_kernel`` + ``_bwd_dkv_kernel``)
+    recomputes the logits, the relative-bias select chain, the exp and
+    the dp dot twice -- once per pass -- because dq accumulates along
+    rows and dk/dv along columns.  Here the grid stays row-major (the
+    dq pass's (b, h, qi, ki)) and dk/dv accumulate into a full-K-length
+    VMEM scratch ([hb, nk, bk, D] fp32 -- 4 MB at S=4096, 16 MB at 16k)
+    that persists across the whole (b, head-group) slice and is written
+    out on its last step.  Per-(ki) accumulation still sees qi in
+    ascending order, so dk/dv sums are BIT-IDENTICAL to the two-pass
+    schedule; dq/dRel are the dq pass unchanged.  What the fusion
+    deletes is the entire second pass: its q·k and q·rel MXU dots, its
+    bias select chain (the expensive VPU work), its exp/dp/ds, and its
+    grid's fetch slots.
+    """
+    if rel_vocab:
+        (rel_ref, dq_ref, dr_ref, dk_ref, dv_ref,
+         dq_acc, dsv_acc, dr_acc, dk_acc, dv_acc) = rest
+    else:
+        rel_ref = None
+        dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc = rest
+
+    b = pl.program_id(0)
+    hgrp = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    t = qi * nk + ki
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+        if rel_vocab:
+            dsv_acc[...] = jnp.zeros_like(dsv_acc)
+
+    @pl.when((qi == 0) & (ki == 0))
+    def _init_slice():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+        if rel_vocab:
+            dr_acc[...] = jnp.zeros_like(dr_acc)
+
+    q_base = qoff_ref[0] + qi * block_q
+    k_base = qoff_ref[1] + ki * block_k
+    length = lengths_ref[b]
+
+    prescale = _prescale_on(softmax_scale)
+
+    @pl.when(_tile_run(geo, q_base, k_base, length, block_q, block_k))
+    def _body():
+        # Prescaled qs also feed the dK accumulation, so dk arrives
+        # already scaled and the write-out skips its multiply (pow2
+        # scale distributes exactly over the dot sums).
+        qs, ks, dss, p_vs, dos = _bwd_tile_core(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
+            meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref,
+            geo=geo, rel_vocab=rel_vocab, block_q=block_q, block_k=block_k,
+            hb=hb, softmax_scale=softmax_scale, dropout_rate=dropout_rate,
+        )
+        for hh, ds in enumerate(dss):
+            dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
+                ds, ks[hh].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_acc[hh, ki] = dv_acc[hh, ki] + jax.lax.dot_general(
+                p_vs[hh], dos[hh], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_acc[hh, ki] = dk_acc[hh, ki] + jax.lax.dot_general(
+                ds, qs[hh].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if rel_vocab:
+            dsvs = _tile_dsv_multi(
+                dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
+                block_q, block_k,
+            )
+            for hh, dsv in enumerate(dsvs):
+                dsv_acc[hh] = dsv_acc[hh] + dsv
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _finalize():
+        for hh in range(hb):
+            dq = dq_acc[hh]
+            if rel_vocab:
+                dq = dq + jax.lax.dot_general(
+                    dsv_acc[hh], rel_ref[hh].astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dr_acc[hh] = dr_acc[hh] + jax.lax.dot_general(
+                    dsv_acc[hh], q_ref[0, hh].astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * softmax_scale
+            dq_ref[0, hh] = (dq * softmax_scale).astype(dq_ref.dtype)
+
+    @pl.when((qi == pl.num_programs(2) - 1) & (ki == pl.num_programs(3) - 1))
+    def _write_slice():
+        for hh in range(hb):
+            for kk in range(nk):  # static slices into the full-K block
+                sl = slice(kk * block_k, (kk + 1) * block_k)
+                if prescale:
+                    dk_ref[0, hh, sl] = dk_acc[hh, kk].astype(dk_ref.dtype)
+                else:
+                    dk_ref[0, hh, sl] = (
+                        dk_acc[hh, kk] * softmax_scale
+                    ).astype(dk_ref.dtype)
+                dv_ref[0, hh, sl] = dv_acc[hh, kk].astype(dv_ref.dtype)
+        if rel_vocab:
+            dr_ref[0] = dr_acc[...]
 
 
 def _bwd_dq_list_kernel(
@@ -1852,56 +1958,14 @@ def _bwd_dq_list_kernel(
     @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k)
              & (flag != 2))
     def _body():
-        qs = [q_ref[0, hh] for hh in range(hb)]
-        if prescale:
-            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
-        ks = [k_ref[0, hh] for hh in range(hb)]
-        ss = [
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for q, k in zip(qs, ks)
-        ]
-        qrs = [
-            jax.lax.dot_general(
-                q, rel_ref[hh], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for hh, q in enumerate(qs)
-        ]
-        biases = _tile_bias_multi(
-            qrs, meta_ref, qi * nk + ki, q_base, k_base, ss[0].shape, geo,
-            rel_vocab, block_q, block_k,
+        qs, ks, dss, _p_vs, _dos = _bwd_tile_core(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
+            meta_ref, qi * nk + ki, q_base, k_base, length, b, hgrp,
+            qoff_ref, geo=geo, rel_vocab=rel_vocab, block_q=block_q,
+            block_k=block_k, hb=hb, softmax_scale=softmax_scale,
+            dropout_rate=dropout_rate,
         )
-        ss = [s + bias for s, bias in zip(ss, biases)]
-        if not prescale:
-            ss = [s * softmax_scale for s in ss]
-
-        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
-        ss = _apply_window_mask(ss, geo, q_base, k_base)
-
-        dss = []
-        for hh, s in enumerate(ss):
-            lse = lse_ref[0, hh, :, 0]
-            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
-            p = jnp.exp(s - lse[:, None])
-            do = do_ref[0, hh].astype(jnp.float32)
-            v_tile = v_ref[0, hh].astype(jnp.float32)
-            dp = jax.lax.dot_general(
-                do, v_tile, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if dropout_rate:
-                head = hgrp * hb + hh
-                keep = _dropout_tile(
-                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base,
-                    dp.shape, dropout_rate
-                )
-                dp = dp * keep
-            delta = delta_ref[0, hh, :, 0]
-            ds = p * (dp - delta[:, None])
-            dss.append(ds)
+        for hh, ds in enumerate(dss):
             dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
                 ds, ks[hh].astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1966,59 +2030,16 @@ def _bwd_dkv_list_kernel(
     @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k)
              & (flag != 2))
     def _body():
-        qs = [q_ref[0, hh] for hh in range(hb)]
-        if prescale:
-            qs = [q * jnp.asarray(softmax_scale, q.dtype) for q in qs]
-        ks = [k_ref[0, hh] for hh in range(hb)]
-        ss = [
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for q, k in zip(qs, ks)
-        ]
-        qrs = [
-            jax.lax.dot_general(
-                q, rel_ref[hh], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for hh, q in enumerate(qs)
-        ]
-        biases = _tile_bias_multi(
-            qrs, meta_ref, qi * nk + ki, q_base, k_base, ss[0].shape, geo,
-            rel_vocab, block_q, block_k,
+        qs, _ks, dss, p_vs, dos = _bwd_tile_core(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
+            meta_ref, qi * nk + ki, q_base, k_base, length, b, hgrp,
+            qoff_ref, geo=geo, rel_vocab=rel_vocab, block_q=block_q,
+            block_k=block_k, hb=hb, softmax_scale=softmax_scale,
+            dropout_rate=dropout_rate,
         )
-        ss = [s + bias for s, bias in zip(ss, biases)]
-        if not prescale:
-            ss = [s * softmax_scale for s in ss]
-
-        ss = _apply_length_mask(ss, length, q_base, k_base, block_q, block_k)
-        ss = _apply_window_mask(ss, geo, q_base, k_base)
-
-        for hh, s in enumerate(ss):
-            lse = lse_ref[0, hh, :, 0]
-            lse = jnp.where(lse < jnp.float32(-1e38), jnp.float32(3e38), lse)
-            p = jnp.exp(s - lse[:, None])
-            do = do_ref[0, hh].astype(jnp.float32)
-            v_tile = v_ref[0, hh].astype(jnp.float32)
-            dp = jax.lax.dot_general(
-                do, v_tile, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            p_v = p
-            if dropout_rate:
-                head = hgrp * hb + hh
-                keep = _dropout_tile(
-                    qoff_ref[2], qoff_ref[3] + b, head, q_base, k_base,
-                    dp.shape, dropout_rate
-                )
-                dp = dp * keep
-                p_v = p * keep
-            delta = delta_ref[0, hh, :, 0]
-            ds = p * (dp - delta[:, None])
-
+        for hh, ds in enumerate(dss):
             dv_acc[hh] = dv_acc[hh] + jax.lax.dot_general(
-                p_v, do, (((0,), (0,)), ((), ())),
+                p_vs[hh], dos[hh], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dk_acc[hh] = dk_acc[hh] + jax.lax.dot_general(
@@ -2038,6 +2059,106 @@ def _bwd_dkv_list_kernel(
                     dk_acc[hh] * softmax_scale
                 ).astype(dk_ref.dtype)
             dv_ref[0, hh] = dv_acc[hh].astype(dv_ref.dtype)
+
+
+def _bwd_fused_list_kernel(
+    lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, do_ref,
+    lse_ref, delta_ref, rel_ref, dq_ref, dr_ref, dk_ref, dv_ref,
+    dq_acc, dsv_acc, dr_acc, dk_acc, dv_acc, *,
+    geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
+    dropout_rate=0.0,
+):
+    """One-pass list backward: dq + dRel + dk + dv from a single walk of
+    the qi-sorted windowed tile list (see ``_bwd_fused_kernel`` for why
+    fusing deletes the second pass).  dk/dv accumulate into a full-K
+    VMEM scratch indexed by the tile's ki; the qi-major list visits each
+    ki's live tiles in ascending qi order, so the sums are bit-identical
+    to the two-pass list schedule."""
+    b = pl.program_id(0)
+    hgrp = pl.program_id(1)
+    t = pl.program_id(2)
+    qi = tmeta_ref[0, t]
+    ki = tmeta_ref[1, t]
+    flag = tmeta_ref[2, t]
+    prev_qi = tmeta_ref[0, jnp.maximum(t - 1, 0)]
+
+    @pl.when((t == 0) | (prev_qi != qi))
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+        dsv_acc[...] = jnp.zeros_like(dsv_acc)
+
+    @pl.when(t == 0)
+    def _init_slice():
+        dr_acc[...] = jnp.zeros_like(dr_acc)
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_base = qoff_ref[0] + qi * block_q
+    k_base = qoff_ref[1] + ki * block_k
+    length = lengths_ref[b]
+
+    prescale = _prescale_on(softmax_scale)
+
+    @pl.when(_tile_contributes(q_base, k_base, length, block_q, block_k)
+             & (flag != 2))
+    def _body():
+        qs, ks, dss, p_vs, dos = _bwd_tile_core(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
+            meta_ref, qi * nk + ki, q_base, k_base, length, b, hgrp,
+            qoff_ref, geo=geo, rel_vocab=rel_vocab, block_q=block_q,
+            block_k=block_k, hb=hb, softmax_scale=softmax_scale,
+            dropout_rate=dropout_rate,
+        )
+        for hh, ds in enumerate(dss):
+            dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
+                ds, ks[hh].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_acc[hh, ki] = dv_acc[hh, ki] + jax.lax.dot_general(
+                p_vs[hh], dos[hh], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_acc[hh, ki] = dk_acc[hh, ki] + jax.lax.dot_general(
+                ds, qs[hh].astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dsvs = _tile_dsv_multi(
+            dss, meta_ref, qi * nk + ki, q_base, k_base, v_pad, geo,
+            rel_vocab, block_q, block_k,
+        )
+        for hh, dsv in enumerate(dsvs):
+            dsv_acc[hh] = dsv_acc[hh] + dsv
+
+    nxt_qi = tmeta_ref[0, t + 1]
+
+    @pl.when((t == pl.num_programs(2) - 1) | (nxt_qi != qi))
+    def _finalize():
+        for hh in range(hb):
+            dq = dq_acc[hh] + jax.lax.dot_general(
+                dsv_acc[hh], rel_ref[hh].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dr_acc[hh] = dr_acc[hh] + jax.lax.dot_general(
+                dsv_acc[hh], q_ref[0, hh].astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * softmax_scale
+            dq_ref[0, hh] = (dq * softmax_scale).astype(dq_ref.dtype)
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _write_slice():
+        for hh in range(hb):
+            for kk in range(nk):  # static slices into the full-K block
+                sl = slice(kk * block_k, (kk + 1) * block_k)
+                if prescale:
+                    dk_ref[0, hh, sl] = dk_acc[hh, kk].astype(dk_ref.dtype)
+                else:
+                    dk_ref[0, hh, sl] = (
+                        dk_acc[hh, kk] * softmax_scale
+                    ).astype(dk_ref.dtype)
+                dv_ref[0, hh, sl] = dv_acc[hh, kk].astype(dv_ref.dtype)
+        dr_ref[0] = dr_acc[...]
 
 
 def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
@@ -2068,6 +2189,56 @@ def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
                          lambda b, h, t, lens, qoff_, meta_, tm:
                              (b, h, tm[0, t], 0),
                          memory_space=pltpu.VMEM)
+
+    if os.environ.get("MMT_ATTN_BWD", "fused") == "fused":
+        # One-pass fused list backward: the ki-sorted second walk (and
+        # its logits + bias-chain recompute) disappears entirely.
+        seq_k = kt.shape[2]
+        head_dim_k = kt.shape[3]
+        kv_full_spec = pl.BlockSpec(
+            (1, hb, seq_k, head_dim_k), lambda b, h, t, *_: (b, h, 0, 0),
+            memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _bwd_fused_list_kernel, geo=geometry, rel_vocab=rel_vocab,
+            v_pad=v_pad, block_q=block_q, block_k=block_k, nk=nk, hb=hb,
+            softmax_scale=scale, dropout_rate=dropout_rate,
+        )
+        dq_t, dr_bh, dk_t, dv_t = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(batch, num_heads // hb, qlist.shape[1] - 1),
+                in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q,
+                          rel_spec],
+                out_specs=(
+                    spec_q,
+                    pl.BlockSpec((1, hb, v_pad, head_dim),
+                                 lambda b, h, t, *_: (b, h, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    kv_full_spec,
+                    kv_full_spec,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+                    pltpu.VMEM((hb, block_q, v_pad), jnp.float32),
+                    pltpu.VMEM((hb, v_pad, head_dim), jnp.float32),
+                    pltpu.VMEM((hb, nk, block_k, head_dim_k), jnp.float32),
+                    pltpu.VMEM((hb, nk, block_k, head_dim_k), jnp.float32),
+                ],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(qt.shape, q_dtype),
+                jax.ShapeDtypeStruct((batch, num_heads, v_pad, head_dim),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct(kt.shape, k_dtype),
+                jax.ShapeDtypeStruct(vt.shape, v_dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lengths_i, qoff, jnp.asarray(meta), jnp.asarray(qlist),
+          qt, kt, vt, dot, lse, delta, rel_h)
+        return dq_t, dr_bh, dk_t, dv_t
 
     kernel = functools.partial(
         _bwd_dq_list_kernel, geo=geometry, rel_vocab=rel_vocab, v_pad=v_pad,
@@ -2194,6 +2365,87 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
                               memory_space=pltpu.VMEM)
     rel_spec = pl.BlockSpec((hb, v_pad, head_dim), lambda b, h, qi, ki, *_: (h, 0, 0),
                             memory_space=pltpu.VMEM) if rel_vocab else None
+
+    # ---- fused one-pass backward (default; MMT_ATTN_BWD=split reverts) ----
+    # Measured on v5e at B=8/S=4096 (see ROADMAP): the split schedule's
+    # second pass re-pays the logits + bias-select chain; fusing dk/dv
+    # into the dq sweep via a full-K VMEM scratch removes it outright.
+    if os.environ.get("MMT_ATTN_BWD", "fused") == "fused":
+        seq_k = kt.shape[2]
+        kv_full_spec = pl.BlockSpec(
+            (1, hb, seq_k, head_dim), lambda b, h, qi, ki, *_: (b, h, 0, 0),
+            memory_space=pltpu.VMEM)
+        in_specs = [qkv_spec_q, qkv_spec_k, qkv_spec_k, qkv_spec_q,
+                    vec_spec_q, vec_spec_q]
+        args = [qt, kt, vt, dot, lse, delta]
+        scratch_kv = [
+            pltpu.VMEM((hb, nk, block_k, head_dim), jnp.float32),
+            pltpu.VMEM((hb, nk, block_k, head_dim), jnp.float32),
+        ]
+        if rel_vocab:
+            in_specs.append(rel_spec)
+            args.append(rel_h)
+            out_shape = (
+                jax.ShapeDtypeStruct(qt.shape, q.dtype),
+                jax.ShapeDtypeStruct((batch, num_heads, v_pad, head_dim),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct(kt.shape, k.dtype),
+                jax.ShapeDtypeStruct(vt.shape, v.dtype),
+            )
+            out_specs = (
+                qkv_spec_q,
+                pl.BlockSpec((1, hb, v_pad, head_dim),
+                             lambda b, h, qi, ki, *_: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                kv_full_spec,
+                kv_full_spec,
+            )
+            scratch = [
+                pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+                pltpu.VMEM((hb, block_q, v_pad), jnp.float32),
+                pltpu.VMEM((hb, v_pad, head_dim), jnp.float32),
+            ] + scratch_kv
+        else:
+            out_shape = (
+                jax.ShapeDtypeStruct(qt.shape, q.dtype),
+                jax.ShapeDtypeStruct(kt.shape, k.dtype),
+                jax.ShapeDtypeStruct(vt.shape, v.dtype),
+            )
+            out_specs = (qkv_spec_q, kv_full_spec, kv_full_spec)
+            scratch = [
+                pltpu.VMEM((hb, block_q, head_dim), jnp.float32),
+            ] + scratch_kv
+        kernel = functools.partial(
+            _bwd_fused_kernel, geo=geometry if rel_vocab else None,
+            rel_vocab=rel_vocab, v_pad=v_pad, block_q=block_q,
+            block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
+            dropout_rate=dropout_rate,
+        )
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(batch, num_heads // hb, nq, nk),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(lengths_i, qoff, meta, *args)
+        if rel_vocab:
+            dq_t, dr_bh, dk_t, dv_t = res
+            drel = jnp.sum(dr_bh, axis=0)[:, :rel_vocab]
+            drel = drel.transpose(1, 0, 2).astype(rel_table.dtype)
+        else:
+            dq_t, dk_t, dv_t = res
+            drel = None
+        dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+        doffs = np.zeros(qk_offsets.shape, dtype=jax.dtypes.float0)
+        return (dq_t.transpose(0, 2, 1, 3), dk_t.transpose(0, 2, 1, 3),
+                dv_t.transpose(0, 2, 1, 3), drel, dlengths, doffs)
 
     # ---- dq (+ dRel) ----
     in_specs = [qkv_spec_q, qkv_spec_k, qkv_spec_k, qkv_spec_q, vec_spec_q, vec_spec_q]
@@ -2483,7 +2735,7 @@ def sequence_sharded_pallas_attention(
     Args: as ``pallas_relative_attention``; q/k/v are *global* [B,S,H,D]
     arrays laid out (batch_axis, seq_axis) on the mesh.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_seq = mesh.shape[seq_axis]
@@ -2534,7 +2786,7 @@ def sequence_sharded_pallas_attention(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )(*args)
 
 
@@ -2571,7 +2823,7 @@ def ring_sequence_sharded_pallas_attention(
     permutes; the relative-table gradient accumulates locally and psums
     through the shard_map transpose.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[seq_axis]
@@ -2705,12 +2957,12 @@ def ring_sequence_sharded_pallas_attention(
         in_specs.append(P(None, None, None))
         args.append(rel_table)
 
-    from jax.experimental.shard_map import shard_map as _sm
+    from jax import shard_map as _sm
 
     return _sm(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )(*args)

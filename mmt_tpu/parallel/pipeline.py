@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def stack_layer_params(transformer_params: Dict[str, Any], num_layers: int):
@@ -200,7 +200,7 @@ def pipeline_layers(
         mesh=mesh,
         in_specs=(pspec, dspec, sm_specs, ss_specs),
         out_specs=dspec,
-        check_rep=False,
+        check_vma=False,
     )(stacked_params, x_micro, side_micro, side_shared)
 
 

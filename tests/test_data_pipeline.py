@@ -465,7 +465,7 @@ class TestDeterminism:
 
 class TestMultiprocessLoader:
     def test_parallel_matches_shard_union(self, tmp_path):
-        from mmt_tpu.data.prefetch import multiprocess_batches
+        from mmt_tpu.data.prefetch import LoaderShard, multiprocess_batches
 
         rng = np.random.default_rng(9)
         vocab = make_vocab(tmp_path)
@@ -480,8 +480,7 @@ class TestMultiprocessLoader:
                           mpp_max_selections_per_seq=4)
         )
 
-        def loader_fn(shard, nshards):
-            return MmtPretrainLoader(cfg).load(shard, nshards)
+        loader_fn = LoaderShard(MmtPretrainLoader, cfg)
 
         parallel = list(multiprocess_batches(loader_fn, num_workers=2))
         serial0 = list(loader_fn(0, 2))

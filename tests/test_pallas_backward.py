@@ -173,3 +173,55 @@ def test_grads_through_ring_sharding():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4, err_msg=n
         )
+
+
+@pytest.mark.parametrize("dropout", [0.0, 0.3])
+def test_fused_backward_matches_split(monkeypatch, dropout):
+    """The one-pass fused backward (default) is bit-identical to the
+    two-pass dq/dkv schedule: the fused kernel's per-(ki) dk/dv sums see
+    qi in the same ascending order, and dq/dRel are the dq pass
+    unchanged."""
+    geo = RelGeometry(text_max_distance=5, num_patch_per_row=4,
+                      num_core_layers=1)
+    q, k, v, table = _rand_inputs(2, 256, 4, 16, 32, seed=9)
+    lengths = jnp.asarray([256, 170], jnp.int32)
+    seed = 21 if dropout else None
+
+    def f(q, k, v, table):
+        return pallas_relative_attention(
+            q, k, v, table, geo, lengths, block_q=64, block_k=64,
+            interpret=True, dropout_rate=dropout, dropout_seed=seed)
+
+    def run():
+        out, vjp = jax.vjp(f, q, k, v, table)
+        g = jnp.ones_like(out)
+        return [np.asarray(x) for x in (out, *vjp(g))]
+
+    monkeypatch.setenv("MMT_ATTN_BWD", "fused")
+    got_fused = run()
+    monkeypatch.setenv("MMT_ATTN_BWD", "split")
+    got_split = run()
+    for a, b, name in zip(got_fused, got_split,
+                          ["out", "dq", "dk", "dv", "dt"]):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_fused_backward_no_rel_matches_split(monkeypatch):
+    q, k, v, _ = _rand_inputs(1, 128, 2, 16, 8, seed=4)
+    lengths = jnp.asarray([100], jnp.int32)
+
+    def f(q, k, v):
+        return pallas_relative_attention(
+            q, k, v, None, None, lengths, block_q=64, block_k=64,
+            interpret=True)
+
+    def run():
+        out, vjp = jax.vjp(f, q, k, v)
+        return [np.asarray(x) for x in (out, *vjp(jnp.ones_like(out)))]
+
+    monkeypatch.setenv("MMT_ATTN_BWD", "fused")
+    a = run()
+    monkeypatch.setenv("MMT_ATTN_BWD", "split")
+    b = run()
+    for x, y, name in zip(a, b, ["out", "dq", "dk", "dv"]):
+        np.testing.assert_array_equal(x, y, err_msg=name)
