@@ -36,6 +36,15 @@ def parse_args(argv=None):
     p.add_argument("--params_override", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--gin_file", action="append", default=[],
+        help="Gin-style binding file(s): 'target.attr = value' lines "
+             "(reference --gin_file, src/train.py:39-48; see "
+             "mmt_tpu/utils/bindings.py for the supported subset).")
+    p.add_argument(
+        "--gin_params", action="append", default=[],
+        help="Inline gin-style bindings, e.g. "
+             "\"build_encoder.encoder_cls = @my.models.Encoder\".")
+    p.add_argument(
         "--lenient_warm_start", action="store_true",
         help="Allow a partially-matching TF init_checkpoint (reference "
              "expect_partial semantics).  Off by default: a typo'd or "
@@ -114,6 +123,14 @@ def warm_start(path: str, params, strict: bool = True):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
+    if args.gin_file or args.gin_params:
+        # Gin-style code-object bindings before any model/config build
+        # (reference order: gin.parse_config_files_and_bindings first,
+        # src/train.py:48).
+        from mmt_tpu.utils.bindings import apply_bindings
+
+        n = apply_bindings(args.gin_file, args.gin_params)
+        logging.info("applied %d gin-style binding(s)", n)
     cfg = build_experiment_config(args)
 
     import jax

@@ -100,18 +100,33 @@ class EncoderConfig(Config):
 
 
 def build_encoder(config: EncoderConfig, num_patch_per_row: int,
-                  name: str = "encoder"):
+                  name: str = "encoder", encoder_cls=None):
     """Encoder factory with the ``encoder_cls`` injection point
-    (parity surface: ``src/configs/encoders.py:112-158``)."""
+    (parity surface: ``src/configs/encoders.py:112-158``).
+
+    ``encoder_cls`` can arrive three ways, mirroring the reference's
+    gin configurability (it made exactly this parameter gin-bindable):
+    as a class passed directly, as a dotted path in the config
+    (yaml/params_override), or as a gin-style binding
+    ``build_encoder.encoder_cls = @pkg.Encoder`` (utils/bindings.py).
+    """
     from mmt_tpu.models.encoder import MmtEncoder  # deferred: avoids cycle
 
-    if config.encoder_cls:
-        import importlib
+    cls = encoder_cls
+    if cls is None and config.encoder_cls:
+        from mmt_tpu.utils.bindings import resolve_reference
 
-        path = config.encoder_cls.replace(":", ".")
-        module_name, cls_name = path.rsplit(".", 1)
-        cls = getattr(importlib.import_module(module_name), cls_name)
+        cls = resolve_reference(config.encoder_cls)
+    if cls is not None:
         return cls(config=config.get(), num_patch_per_row=num_patch_per_row,
                    name=name)
     return MmtEncoder(config.get(), num_patch_per_row=num_patch_per_row,
                       name=name)
+
+
+# Gin-analog configurability: `build_encoder.encoder_cls = @pkg.Cls`
+# binds the parameter exactly as the reference's gin file would
+# (src/configs/encoders.py:112 @gin.configurable).
+from mmt_tpu.utils.bindings import configurable as _configurable  # noqa: E402
+
+build_encoder = _configurable(build_encoder)
