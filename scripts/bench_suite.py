@@ -280,17 +280,24 @@ def _measure_host_stages(record_path, vocab_path, n=64):
 
 
 def _measure_host_pipeline(record_path, vocab_path, batch=64, n_batches=5,
-                           ship_raw=False):
+                           ship_raw=False, num_workers=0):
     """Records on disk -> model-ready numpy batches, host only (ex/s)."""
     from mmt_tpu.data.loaders import MmtPretrainLoader
 
     cfg = _e2e_pretrain_cfg(record_path, vocab_path, batch, ship_raw=ship_raw)
-    it = MmtPretrainLoader(cfg).load()
-    next(it)  # pay shuffle-buffer fill outside the timed window
+    if num_workers > 0:
+        from mmt_tpu.data.prefetch import LoaderShard, multiprocess_batches
+        it = multiprocess_batches(
+            LoaderShard(MmtPretrainLoader, cfg), num_workers=num_workers)
+    else:
+        it = MmtPretrainLoader(cfg).load()
+    next(it)  # pay shuffle-buffer fill (and worker spawn) outside the window
     t0 = time.perf_counter()
     for _ in range(n_batches):
         next(it)
     dt = time.perf_counter() - t0
+    if num_workers > 0:
+        it.close()  # terminate worker processes
     return batch * n_batches / dt
 
 
@@ -558,6 +565,21 @@ def run_e2e(emit):
         "note": "ship_raw_images: uint8 image + patch_mask shipped, "
                 "normalize/extract/MPP-zero fused into XLA; host does "
                 "decode+tokenize+mask only",
+    })
+    # Worker-process composition datapoint (VERDICT r3 #7): 2 spawn
+    # workers on this single-core container are oversubscribed, so the
+    # value demonstrates the machinery (round-robin shard multiplexing,
+    # queue transport overhead), not scaling -- true scaling needs a
+    # multi-core host (reference analog: tf.data parallel interleave,
+    # src/data/pretrain_dataloader.py:129-150).
+    w_eps = _measure_host_pipeline(record_path, vocab_path, ship_raw=True,
+                                   num_workers=2)
+    emit({
+        "metric": "host_pipeline_pretrain_s256_raw_workers2",
+        "value": round(w_eps, 2), "unit": "examples/sec",
+        "note": "2 spawn workers on ONE host core (oversubscribed): "
+                "exercises multiprocess shard composition + queue "
+                "transport; scaling requires a multi-core host",
     })
     import jax
 

@@ -8,7 +8,11 @@ Honest timing on the tunneled TPU (see CLAUDE.md): distinct inputs per
 iteration + device->host transfer as the sync point.
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +39,10 @@ def main():
     ap.add_argument("--minlen", type=int, default=None,
                     help="min length (default S//2); S => no padding")
     ap.add_argument("--bwd", action="store_true", help="time fwd+bwd")
+    ap.add_argument("--bwdall", action="store_true",
+                    help="time fwd+bwd with ALL cotangents consumed "
+                         "(dq+dk+dv+dtab); grad-wrt-q-only lets XLA drop "
+                         "the split schedule's dkv pass")
     args = ap.parse_args()
 
     B, S, H, D = args.batch, args.seq, args.heads, args.dim
@@ -51,40 +59,59 @@ def main():
 
     rel = (None, None) if args.norel else (tab, geo)
 
-    def layer(q):
+    # k/v/tab are explicit jit ARGUMENTS: closed-over device arrays get
+    # embedded as dense constants in the lowered module, and on this
+    # relay toolchain the compile request then ships the full tensors
+    # (HTTP 413 at S=16384: 2x ~200 MB constants exceed the body limit;
+    # smaller shapes compiled but paid the upload on every new shape).
+    def layer4(q, k, v, tab):
         return pallas_relative_attention(
-            q, k, v, rel[0], rel[1], lengths,
+            q, k, v, tab if not args.norel else None, rel[1], lengths,
             block_q=args.block_q or args.block, block_k=args.block)
 
-    if args.bwd:
-        def f(q):
-            return jnp.sum(layer(q).astype(jnp.float32) ** 2)
-
-        def once(q):
-            return jax.grad(f)(q)
+    if args.bwdall:
+        def once(q, k, v, tab):
+            # All four cotangents flow into the result so no pass is DCE'd.
+            grads = jax.grad(
+                lambda q_, k_, v_, t_: jnp.sum(
+                    layer4(q_, k_, v_, t_).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2, 3) if not args.norel else (0, 1, 2),
+            )(q, k, v, tab)
+            dq, dk, dv = grads[0], grads[1], grads[2]
+            mix = (jnp.mean(dk.astype(jnp.float32))
+                   + jnp.mean(dv.astype(jnp.float32)))
+            if not args.norel:
+                mix = mix + jnp.mean(grads[3])
+            return dq + jnp.bfloat16(1e-12) * mix.astype(jnp.bfloat16)
+    elif args.bwd:
+        def once(q, k, v, tab):
+            return jax.grad(
+                lambda q_: jnp.sum(
+                    layer4(q_, k, v, tab).astype(jnp.float32) ** 2))(q)
     else:
-        once = layer
+        once = layer4
 
     # Slope timing: chain the kernel K times inside one jit (output feeds
     # the next input, forcing sequential execution); per-layer time is the
     # slope between K and 2K chains, cancelling dispatch/tunnel overhead.
     K = args.iters
 
-    def chain(q, n):
+    def chain(q, k, v, tab, n):
         def body(i, acc):
-            return once(acc) + jnp.bfloat16(1e-6) * i
+            return once(acc, k, v, tab) + jnp.bfloat16(1e-6) * i
         return jax.lax.fori_loop(0, n, body, q)
 
-    f1 = jax.jit(lambda q: chain(q, K))
-    f2 = jax.jit(lambda q: chain(q, 2 * K))
+    f1 = jax.jit(lambda q, k, v, tab: chain(q, k, v, tab, K))
+    f2 = jax.jit(lambda q, k, v, tab: chain(q, k, v, tab, 2 * K))
 
     t0 = time.perf_counter()
-    np.asarray(f1(q)[0, 0, 0]); np.asarray(f2(q)[0, 0, 0])
+    np.asarray(f1(q, k, v, tab)[0, 0, 0])
+    np.asarray(f2(q, k, v, tab)[0, 0, 0])
     print(f"compile: {time.perf_counter() - t0:.1f}s")
 
     def t(fn, qi):
         t0 = time.perf_counter()
-        np.asarray(fn(qi)[0, 0, 0])
+        np.asarray(fn(qi, k, v, tab)[0, 0, 0])
         return time.perf_counter() - t0
 
     t(f1, q); t(f2, q)  # warm
@@ -92,7 +119,8 @@ def main():
     t2 = min(t(f2, q + jnp.bfloat16(0.01 * i)) for i in range(3))
     dt = (t2 - t1) / K
     wtag = f" window={args.window}/g{args.num_global}" if args.window else ""
-    print(f"{'fwd+bwd' if args.bwd else 'fwd'} B={B} S={S} H={H} D={D} "
+    mode = "fwd+bwd(all)" if args.bwdall else ("fwd+bwd" if args.bwd else "fwd")
+    print(f"{mode} B={B} S={S} H={H} D={D} "
           f"block={args.block} rel={not args.norel}{wtag}: {dt * 1e3:.2f} "
           f"ms/layer (t{K}={t1 * 1e3:.1f}ms t{2 * K}={t2 * 1e3:.1f}ms)")
 
