@@ -2337,9 +2337,23 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
     # hb=4 vs 60 at hb=1).  After the round-3 cond-free/MXU-dsv rewrites
     # the pressure dropped and hb=2 wins: 31.7 vs 32.7 ms/layer fwd+bwd
     # at B=8/S=4096 (quiet-machine confirmed; hb=4 regressed).
-    # MMT_ATTN_HB_BWD overrides for experiments.
-    hb_pref = int(os.environ.get("MMT_ATTN_HB_BWD", "2"))
+    # MMT_ATTN_HB_BWD overrides for experiments (and skips the fused
+    # scratch cap below, so probes can measure any packing).
+    env_hb = os.environ.get("MMT_ATTN_HB_BWD")
+    hb_pref = int(env_hb) if env_hb else 2
     hb = next((h for h in (hb_pref, 1) if h > 0 and num_heads % h == 0), 1)
+    if env_hb is None and os.environ.get("MMT_ATTN_BWD", "fused") == "fused":
+        # The fused one-pass backward accumulates dk/dv in a full-K VMEM
+        # scratch of 2 * hb * seq_k * D * 4 bytes.  Measured (window 512,
+        # B=8, all-grads): at S=16384 hb=2 (33.5 MB) craters to 206
+        # ms/layer -- the scratch starves the pipeline's double
+        # buffering -- while hb=1 (16.8 MB) runs 103 vs the split
+        # schedule's 137.  At S<=8192 (<=16.8 MB) hb=2 wins (47.5 vs
+        # 64.8 split at 8k).  Cap the scratch at ~17 MB by shrinking the
+        # head packing; numerics are unchanged (heads are independent,
+        # per-head accumulation order is the same for any hb).
+        while hb > 1 and 2 * hb * k.shape[1] * head_dim * 4 > 17 * 1024 * 1024:
+            hb = max(h for h in range(1, hb) if num_heads % h == 0)
 
     # Sliding-window pattern: run both backward passes on the static
     # live-tile lists (see _window_tile_list) instead of the rectangular
