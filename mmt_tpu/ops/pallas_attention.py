@@ -2303,6 +2303,43 @@ def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
     return dq_t, dr_bh, dk_t, dv_t
 
 
+def _backward_head_packing(num_heads, seq_k, head_dim, kv_itemsize=2):
+    """Heads per backward grid step (hb), with the fused-scratch VMEM cap.
+
+    Under the round-2 cond-heavy schedules hb=1 measured best (packed
+    heads blew up VMEM/register pressure under the ds/dsv accumulators
+    and cond closures: fwd+bwd 74 ms at hb=4 vs 60 at hb=1).  After the
+    round-3 cond-free/MXU-dsv rewrites the pressure dropped and hb=2
+    wins (31.7 vs 32.7 ms/layer at B=8/S=4096; hb=4 regressed).
+
+    The fused one-pass backward additionally keeps a full-K VMEM
+    footprint that scales with hb * seq_k: the fp32 dk/dv accumulator
+    scratch (2 * hb * seq_k * D * 4 bytes) PLUS the dk/dv output
+    windows, whose constant-over-(qi, ki) index maps pin them in VMEM
+    for the whole (batch, head-group) slice (2 * hb * seq_k * D *
+    kv_itemsize bytes).  Measured (window 512, B=8, all-grads): at
+    S=16384 hb=2 (25.2 MB resident) craters to 206 ms/layer -- the
+    residency starves the pipeline's double buffering -- while hb=1
+    (12.6 MB) runs 103 vs the split schedule's 137.  At S<=8192
+    (<=12.6 MB) hb=2 wins (47.5 vs 64.8 split at 8k).  So cap the
+    residency at ~17 MB (between the measured-good 12.6 and
+    measured-bad 25.2) by shrinking the head packing; numerics are
+    unchanged (heads are independent, and per-head accumulation order
+    is the same for any hb).
+
+    MMT_ATTN_HB_BWD overrides everything (including the cap) so probes
+    can measure any packing.
+    """
+    env_hb = os.environ.get("MMT_ATTN_HB_BWD")
+    hb_pref = int(env_hb) if env_hb else 2
+    hb = next((h for h in (hb_pref, 1) if h > 0 and num_heads % h == 0), 1)
+    if env_hb is None and os.environ.get("MMT_ATTN_BWD", "fused") == "fused":
+        while (hb > 1 and 2 * hb * seq_k * head_dim * (4 + kv_itemsize)
+               > 17 * 1024 * 1024):
+            hb = max(h for h in range(1, hb) if num_heads % h == 0)
+    return hb
+
+
 def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
                         dropout_rate=0.0, static_zero=False):
     q, k, v, rel_table, lengths, qk_offsets, out, lse = residuals
@@ -2331,29 +2368,8 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
     qoff = qk_offsets.astype(jnp.int32)
     scale = 1.0 / (head_dim**0.5)
 
-    # Head packing: under the round-2 cond-heavy schedules hb=1 measured
-    # best for the backward (packed heads blew up VMEM/register pressure
-    # under the ds/dsv accumulators and cond closures: fwd+bwd 74 ms at
-    # hb=4 vs 60 at hb=1).  After the round-3 cond-free/MXU-dsv rewrites
-    # the pressure dropped and hb=2 wins: 31.7 vs 32.7 ms/layer fwd+bwd
-    # at B=8/S=4096 (quiet-machine confirmed; hb=4 regressed).
-    # MMT_ATTN_HB_BWD overrides for experiments (and skips the fused
-    # scratch cap below, so probes can measure any packing).
-    env_hb = os.environ.get("MMT_ATTN_HB_BWD")
-    hb_pref = int(env_hb) if env_hb else 2
-    hb = next((h for h in (hb_pref, 1) if h > 0 and num_heads % h == 0), 1)
-    if env_hb is None and os.environ.get("MMT_ATTN_BWD", "fused") == "fused":
-        # The fused one-pass backward accumulates dk/dv in a full-K VMEM
-        # scratch of 2 * hb * seq_k * D * 4 bytes.  Measured (window 512,
-        # B=8, all-grads): at S=16384 hb=2 (33.5 MB) craters to 206
-        # ms/layer -- the scratch starves the pipeline's double
-        # buffering -- while hb=1 (16.8 MB) runs 103 vs the split
-        # schedule's 137.  At S<=8192 (<=16.8 MB) hb=2 wins (47.5 vs
-        # 64.8 split at 8k).  Cap the scratch at ~17 MB by shrinking the
-        # head packing; numerics are unchanged (heads are independent,
-        # per-head accumulation order is the same for any hb).
-        while hb > 1 and 2 * hb * k.shape[1] * head_dim * 4 > 17 * 1024 * 1024:
-            hb = max(h for h in range(1, hb) if num_heads % h == 0)
+    hb = _backward_head_packing(num_heads, k.shape[1], head_dim,
+                                k.dtype.itemsize)
 
     # Sliding-window pattern: run both backward passes on the static
     # live-tile lists (see _window_tile_list) instead of the rectangular

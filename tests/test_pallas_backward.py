@@ -225,3 +225,32 @@ def test_fused_backward_no_rel_matches_split(monkeypatch):
     b = run()
     for x, y, name in zip(a, b, ["out", "dq", "dk", "dv"]):
         np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_backward_head_packing_scratch_cap(monkeypatch):
+    from mmt_tpu.ops.pallas_attention import _backward_head_packing
+
+    monkeypatch.delenv("MMT_ATTN_HB_BWD", raising=False)
+    monkeypatch.delenv("MMT_ATTN_BWD", raising=False)
+    # Default fused: hb=2 while the dk/dv full-K VMEM residency
+    # (2*hb*S*D*(4 fp32 scratch + itemsize output windows) bytes)
+    # stays under ~17 MB, hb=1 beyond (measured: 16k hb=2 starves the
+    # pipeline's double buffering -- see _backward_head_packing).
+    assert _backward_head_packing(12, 4096, 64) == 2     # 6.3 MB
+    assert _backward_head_packing(12, 8192, 64) == 2     # 12.6 MB
+    assert _backward_head_packing(12, 16384, 64) == 1    # 25.2 -> cap
+    # fp32 K/V output windows raise the residency: at S=10240 bf16
+    # stays under the cap (15.7 MB) while fp32 exceeds it (21 MB).
+    assert _backward_head_packing(12, 10240, 64, kv_itemsize=2) == 2
+    assert _backward_head_packing(12, 10240, 64, kv_itemsize=4) == 1
+    # Odd head counts can't pack pairs at all.
+    assert _backward_head_packing(11, 4096, 64) == 1
+    # The split schedule has no full-K scratch: no cap applies.
+    monkeypatch.setenv("MMT_ATTN_BWD", "split")
+    assert _backward_head_packing(12, 16384, 64) == 2
+    monkeypatch.delenv("MMT_ATTN_BWD")
+    # Explicit override skips the cap (probe escape hatch).
+    monkeypatch.setenv("MMT_ATTN_HB_BWD", "4")
+    assert _backward_head_packing(12, 16384, 64) == 4
+    monkeypatch.setenv("MMT_ATTN_HB_BWD", "5")  # not a divisor -> 1
+    assert _backward_head_packing(12, 4096, 64) == 1
