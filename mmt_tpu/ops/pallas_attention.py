@@ -966,7 +966,12 @@ def _window_tile_list(geo: RelGeometry, seq_len: int, block_q: int,
     fetch/pipeline slot -- the pl.when skip on the rectangular grid
     saves their compute but not their slot, which capped the windowed
     kernel at ~72% of dense cost when only ~50% of tiles are live (and
-    far less at 8k/16k)."""
+    far less at 8k/16k).
+
+    Measured on v5e (round 4; B=8, window 512, g=198, ms/layer,
+    two-pass backward): fwd list/rect 8.03/9.67 at 4k (-17%) and
+    16.80/22.84 at 8k (-26%); fwd+bwd 22.48/24.69 and 43.57/60.24.
+    List is the default; ``MMT_ATTN_WINDOW_GRID=rect`` reverts."""
     nq, nk = seq_len // block_q, seq_len // block_k
     rows = []
     for qi in range(nq):
