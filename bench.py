@@ -35,21 +35,40 @@ CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def model_flops_per_example(lengths, hidden=768, layers=12, intermediate=3072,
-                            rel_vocab=49) -> float:
+                            rel_vocab=49, window=0, num_global=0) -> float:
     """Algorithmic forward FLOPs per example (mean over the batch).
 
     Counts the encoder's matmuls at each example's REAL length (the
     kernel's pad-skip means padded positions are not useful work):
     qkv+output projections, the two S^2 attention contractions, the
     relative-bias contraction q @ R, and the FFN.  2 FLOPs per MAC.
+
+    With ``window > 0`` the attention contractions count only the
+    sliding-window + prefix-global pattern's live (i, j) pairs
+    (allowed iff i < num_global or j < num_global or |i-j| <= window —
+    the kernel's exact mask), so MFU for the windowed configs reflects
+    FLOPs actually performed, not a dense-equivalent inflation.
     """
     import numpy as np
+
+    def attn_pairs(L):
+        L = int(L)
+        if window <= 0:
+            return float(L) * L
+        i = np.arange(L, dtype=np.float64)
+        lo = np.maximum(i - window, 0)
+        hi = np.minimum(i + window, L - 1)
+        band = hi - lo + 1
+        # globals j < num_global not already inside the band [lo, hi]
+        extra_g = np.minimum(np.minimum(num_global, L), lo)
+        keys = np.where(i < num_global, float(L), band + extra_g)
+        return float(keys.sum())
 
     total = 0.0
     for L in np.asarray(lengths, dtype=np.float64):
         per_layer = (
             8 * L * hidden * hidden          # q, k, v, o projections
-            + 4 * L * L * hidden             # qk^T and pv
+            + 4 * attn_pairs(L) * hidden     # qk^T and pv (pattern-aware)
             + 2 * L * rel_vocab * hidden     # relative-bias q @ R
             + 4 * L * hidden * intermediate  # FFN in + out
         )

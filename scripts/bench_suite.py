@@ -628,23 +628,33 @@ def main():
                     help="measure the host input pipeline and the "
                          "end-to-end (disk -> TPU step) rate")
     ap.add_argument("--e2e_only", action="store_true")
+    ap.add_argument("--only", action="append", default=None,
+                    help="run only rows whose metric name contains this "
+                         "substring (repeatable); other rows are skipped")
     args = ap.parse_args()
 
     def emit(r):
         print(json.dumps(r), flush=True)
 
+    def want(name):
+        return args.only is None or any(o in name for o in args.only)
+
     if args.e2e_only:
         run_e2e(emit)
         return
 
-    eps4k, tf4k, mfu4k = _measure_inference(4096, 32, iters=8)
-    base = bench.cpu_baseline()
-    emit({
-        "metric": "fashion_gen_4k_retrieval_inference", "value": round(eps4k, 3),
-        "unit": "examples/sec", "vs_baseline": round(eps4k / base, 2),
-        "achieved_tflops": tf4k, "mfu_pct_v5e_bf16": mfu4k,
-    })
+    if want("fashion_gen_4k_retrieval_inference"):
+        eps4k, tf4k, mfu4k = _measure_inference(4096, 32, iters=8)
+        base = bench.cpu_baseline()
+        emit({
+            "metric": "fashion_gen_4k_retrieval_inference",
+            "value": round(eps4k, 3),
+            "unit": "examples/sec", "vs_baseline": round(eps4k / base, 2),
+            "achieved_tflops": tf4k, "mfu_pct_v5e_bf16": mfu4k,
+        })
     for s, b in ((512, 256), (256, 512)):
+        if not want(f"retrieval_inference_s{s}"):
+            continue
         eps, tfl, mfu = _measure_inference(s, b, iters=8)
         emit({
             "metric": f"retrieval_inference_s{s}", "value": round(eps, 3),
@@ -657,6 +667,8 @@ def main():
     # tokens + ~12-28 wordpieces); WIT attribution+reference text tends
     # to fill the 256 budget.
     for name, lens in (("flickr30k", (210, 228)), ("wit", (215, 256))):
+        if not want(f"{name}_retrieval_inference_s256_b2048"):
+            continue
         eps, tfl, mfu = _measure_inference(
             256, 2048, iters=8, min_len=lens[0], max_len=lens[1])
         emit({
@@ -667,18 +679,28 @@ def main():
     # BASELINE's long-sequence sliding-window + global attention config
     # at the flagship shape (image part global, window 512).  A distinct
     # model (different attention pattern), so no vs_baseline claim;
-    # FLOPs/MFU keep the dense accounting for comparability.
-    fwd_w, args_w = bench.build("pallas", "bfloat16", 32, seq_len=4096,
-                                window=512)
-    eps_w = bench.measure(fwd_w, args_w, 32, iters=8)
-    emit({
-        "metric": "fashion_gen_4k_retrieval_inference_window512",
-        "value": round(eps_w, 3), "unit": "examples/sec",
-    })
+    # FLOPs count only the pattern's live (i, j) pairs (the kernel's
+    # exact mask), so the MFU is by work actually performed.
+    if want("fashion_gen_4k_retrieval_inference_window512"):
+        fwd_w, args_w = bench.build("pallas", "bfloat16", 32, seq_len=4096,
+                                    window=512)
+        eps_w = bench.measure(fwd_w, args_w, 32, iters=8)
+        flops_w = bench.model_flops_per_example(args_w[-1], window=512,
+                                                num_global=198)
+        tfl_w = eps_w * flops_w / 1e12
+        emit({
+            "metric": "fashion_gen_4k_retrieval_inference_window512",
+            "value": round(eps_w, 3), "unit": "examples/sec",
+            "achieved_tflops": round(tfl_w, 2),
+            "mfu_pct_v5e_bf16": round(
+                100.0 * tfl_w * 1e12 / bench.V5E_BF16_PEAK, 2),
+        })
     # Dynamic-int8 serving rows (TPU-native extension; v5e MXU runs
     # s8 x s8 at 2x the bf16 rate).  Deviation = max |prob| change vs the
     # fp path on the same params/inputs.
     for s, b in ((512, 256), (256, 512)):
+        if not want(f"retrieval_inference_s{s}_int8"):
+            continue
         eps, tfl, mfu = _measure_inference(s, b, iters=8, quantize="int8_dynamic")
         emit({
             "metric": f"retrieval_inference_s{s}_int8", "value": round(eps, 3),
@@ -686,34 +708,40 @@ def main():
             "achieved_tflops": tfl, "mfu_pct_v5e_bf16": mfu,
             "max_prob_deviation_vs_fp": round(_int8_score_deviation(s), 5),
         })
-    eps_train = _measure_pretrain_step()
-    emit({
-        "metric": "pretrain_train_step_s256", "value": round(eps_train, 3),
-        "unit": "examples/sec",
-    })
+    if want("pretrain_train_step_s256"):
+        eps_train = _measure_pretrain_step()
+        emit({
+            "metric": "pretrain_train_step_s256", "value": round(eps_train, 3),
+            "unit": "examples/sec",
+        })
     # BASELINE.md also names a 512-token mixed-sequence pretraining step.
-    eps_train512 = _measure_pretrain_step(seq_len=512, batch=64, micro=32)
-    emit({
-        "metric": "pretrain_train_step_s512", "value": round(eps_train512, 3),
-        "unit": "examples/sec",
-    })
+    if want("pretrain_train_step_s512"):
+        eps_train512 = _measure_pretrain_step(seq_len=512, batch=64, micro=32)
+        emit({
+            "metric": "pretrain_train_step_s512",
+            "value": round(eps_train512, 3),
+            "unit": "examples/sec",
+        })
     if args.long:
         for s, b in ((4096, 8), (8192, 4), (16384, 2)):
-            eps = _measure_pretrain_step(seq_len=s, batch=b, micro=b)
-            emit({
-                "metric": f"pretrain_train_step_s{s}", "value": round(eps, 3),
-                "unit": "examples/sec",
-                "tokens_per_sec": round(eps * s, 1),
-            })
+            if want(f"pretrain_train_step_s{s}"):
+                eps = _measure_pretrain_step(seq_len=s, batch=b, micro=b)
+                emit({
+                    "metric": f"pretrain_train_step_s{s}",
+                    "value": round(eps, 3),
+                    "unit": "examples/sec",
+                    "tokens_per_sec": round(eps * s, 1),
+                })
             # BASELINE's long-sequence sliding-window + global config:
             # image part global, window 512.
-            eps_w = _measure_pretrain_step(seq_len=s, batch=b, micro=b,
-                                           window=512)
-            emit({
-                "metric": f"pretrain_train_step_s{s}_window512",
-                "value": round(eps_w, 3), "unit": "examples/sec",
-                "tokens_per_sec": round(eps_w * s, 1),
-            })
+            if want(f"pretrain_train_step_s{s}_window512"):
+                eps_w = _measure_pretrain_step(seq_len=s, batch=b, micro=b,
+                                               window=512)
+                emit({
+                    "metric": f"pretrain_train_step_s{s}_window512",
+                    "value": round(eps_w, 3), "unit": "examples/sec",
+                    "tokens_per_sec": round(eps_w * s, 1),
+                })
     if args.e2e:
         run_e2e(emit)
 
