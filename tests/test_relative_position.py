@@ -143,3 +143,82 @@ def test_closed_form_matches_reference_algorithm_sweep():
         got = gen.image_ids()
         want = _reference_base_tensor_algorithm(P, r, 5)
         np.testing.assert_array_equal(got, want, err_msg=f"P={P} r={r}")
+
+
+# ---------------------------------------------------------------------------
+# Live differential: execute the reference's own source.
+# ---------------------------------------------------------------------------
+
+_REFERENCE_SRC = "/root/reference/src/feature_utils.py"
+
+
+def _load_reference_generator():
+    """Exec the reference's ``MmtRelativePositionGenerator`` under the
+    installed TensorFlow.
+
+    The reference's single external dependency is
+    ``etcmodel.feature_utils.RelativePositionGenerator`` (1D text ids;
+    etcmodel is not installable here).  We inject OUR 1D generator --
+    itself anchored by the reference repo's golden matrices above -- as
+    that stub, so this differential isolates exactly the reference's 2D
+    packing logic: base-tensor construction (roll/pad/8-direction fill),
+    per-patch crop, text/image part-id padding, and the final concat
+    (``/root/reference/src/feature_utils.py:89-184``).
+    """
+    import types
+
+    import tensorflow as tf
+
+    src = open(_REFERENCE_SRC).read().replace(
+        "from etcmodel import feature_utils as etc_feature_utils", ""
+    )
+
+    class _Stub1D:
+        def __init__(self, max_distance):
+            self._gen = RelativePositionGenerator(max_distance)
+
+        def make_relative_att_ids(self, seq_len, batch_size):
+            ids = self._gen.make_relative_att_ids(int(seq_len), int(batch_size))
+            return tf.constant(ids, dtype=tf.int32)
+
+    ns = {
+        "etc_feature_utils": types.SimpleNamespace(
+            RelativePositionGenerator=_Stub1D
+        )
+    }
+    exec(compile(src, _REFERENCE_SRC, "exec"), ns)
+    return ns["MmtRelativePositionGenerator"]
+
+
+def test_live_differential_vs_reference_source():
+    """Fuzz our generator against the reference's own executing code.
+
+    100 random (num_patch_per_row, num_core_layers, text_max_distance,
+    seq_len, batch_size) configurations -- far beyond the two transcribed
+    goldens -- must match element-for-element.
+
+    Reference quirk found by this fuzz: its image part is hard-coded to
+    batch 1 (``expand_dims`` at feature_utils.py:172), so the reference
+    CRASHES in tf.concat for batch_size > 1 -- upstream it is only ever
+    called with batch_size=1 (src/input_utils.py).  We therefore compare
+    at batch 1 and check our batch>1 output against the tiled reference.
+    """
+    ref_cls = _load_reference_generator()
+    rng = np.random.default_rng(20260819)
+    for trial in range(100):
+        P = int(rng.integers(2, 8))
+        r = int(rng.integers(1, P))  # r < P keeps the base-tensor pads valid
+        t = int(rng.integers(0, 9))
+        text_len = int(rng.integers(1, 40))
+        seq_len = P * P + text_len
+        batch = int(rng.integers(1, 3))
+
+        ref = ref_cls(P, r, t).make_relative_att_ids(seq_len, 1).numpy()
+        ours = MmtRelativePositionGenerator(P, r, t).make_relative_att_ids(
+            seq_len, batch_size=batch
+        )
+        np.testing.assert_array_equal(
+            ours, np.tile(ref, (batch, 1, 1)),
+            err_msg=f"trial={trial} P={P} r={r} t={t} "
+                    f"seq_len={seq_len} batch={batch}"
+        )
