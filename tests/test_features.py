@@ -225,3 +225,157 @@ class TestMatching:
 
         with pytest.raises(ValueError):
             make_matching_features(self._features(4), list(range(4)), 1, 5)
+
+
+class TestLiveDifferentialSideInputs:
+    """Execute the reference's own side-input builder and fuzz against ours.
+
+    ``get_add_side_input_features_fn`` (/root/reference/src/data/
+    data_utils.py:285-381) derives ``segment_ids``, ``att_mask`` and
+    ``relative_att_ids`` from (num_image_wordpieces, num_text_wordpieces)
+    — the host-side composition our framework re-derives on device.  The
+    whole reference module cannot be imported (tf_text / TFM / etcmodel
+    are not installable), so the two relevant defs are extracted by AST
+    and exec'd under the installed TF with minimal stubs:
+
+    * ``etc_feature_utils.make_segmented_att_mask`` — the etcmodel
+      one-liner per its spec (attend iff same example id); the value of
+      this differential is the composition AROUND it (the reverse-cumsum
+      breakpoint encoding, the one_hot(seq_len-1), the squeeze/quirks),
+      which is the reference's own executing code.
+    * ``etc_feature_utils.RelativePositionGenerator`` — our 1D generator
+      (golden-anchored elsewhere).
+    * ``feature_utils`` — the reference's own module, exec'd the same way
+      as in test_relative_position.py.
+    * ``tf_utils.get_shape_list`` — static shape list.
+
+    This pins, against running reference code: the segment-id boundary
+    off-by-one quirk (position == num_image_wordpieces gets segment 0),
+    the padding-attends-padding att_mask quirk, and the relative-id
+    plumbing (squeeze to unbatched).
+    """
+
+    REF_ROOT = "/root/reference/src"
+
+    def _load(self):
+        import ast
+        import types
+
+        import tensorflow as tf
+
+        from mmt_tpu.features.relative_position import (
+            RelativePositionGenerator as Ours1D,
+        )
+
+        class _Stub1D:
+            def __init__(self, max_distance):
+                self._gen = Ours1D(max_distance)
+
+            def make_relative_att_ids(self, seq_len, batch_size):
+                return tf.constant(
+                    self._gen.make_relative_att_ids(int(seq_len), int(batch_size)),
+                    dtype=tf.int32,
+                )
+
+        def _segmented_att_mask(example_ids):
+            return tf.cast(
+                example_ids[:, :, None] == example_ids[:, None, :], tf.int32
+            )
+
+        etc_stub = types.SimpleNamespace(
+            RelativePositionGenerator=_Stub1D,
+            make_segmented_att_mask=_segmented_att_mask,
+        )
+        tf_utils_stub = types.SimpleNamespace(
+            get_shape_list=lambda t: [int(d) for d in t.shape]
+        )
+
+        # The reference's feature_utils module, exec'd whole.
+        fu_src = open(f"{self.REF_ROOT}/feature_utils.py").read().replace(
+            "from etcmodel import feature_utils as etc_feature_utils", ""
+        )
+        fu_ns = {"etc_feature_utils": etc_stub}
+        exec(compile(fu_src, f"{self.REF_ROOT}/feature_utils.py", "exec"), fu_ns)
+        feature_utils_stub = types.SimpleNamespace(
+            MmtRelativePositionGenerator=fu_ns["MmtRelativePositionGenerator"]
+        )
+
+        # Extract only the two needed defs from data_utils by AST.
+        du_path = f"{self.REF_ROOT}/data/data_utils.py"
+        du_src = open(du_path).read()
+        tree = ast.parse(du_src)
+        wanted = {"RelativeTransformerSideInputs",
+                  "get_add_side_input_features_fn"}
+        lines = du_src.splitlines()
+        segments = []
+        for node in tree.body:
+            if getattr(node, "name", None) not in wanted:
+                continue
+            # get_source_segment drops decorators (@attr.s); slice by line
+            # range from the first decorator through end_lineno instead.
+            start = min([d.lineno for d in node.decorator_list]
+                        + [node.lineno])
+            segments.append("\n".join(lines[start - 1:node.end_lineno]))
+        assert len(segments) == 2, "reference layout changed"
+
+        import attr
+        from typing import List, Mapping, Optional
+
+        ns = {
+            "tf": tf,
+            "attr": attr,
+            "List": List,
+            "Mapping": Mapping,
+            "Optional": Optional,
+            "etc_feature_utils": etc_stub,
+            "tf_utils": tf_utils_stub,
+            "feature_utils": feature_utils_stub,
+            "configs": types.SimpleNamespace(MmtDataConfig=object),
+        }
+        exec(compile("\n\n".join(segments), du_path, "exec"), ns)
+        return ns["get_add_side_input_features_fn"]
+
+    def test_fuzz_vs_reference_source(self):
+        import types
+
+        import pytest
+
+        tf = pytest.importorskip("tensorflow")
+        get_fn = self._load()
+
+        from mmt_tpu.features import MmtRelativePositionGenerator as OursGen
+
+        rng = np.random.default_rng(20260820)
+        for trial in range(25):
+            P = int(rng.integers(2, 5))
+            num_patches = P * P
+            r = int(rng.integers(1, P))
+            t = int(rng.integers(1, 6))
+            max_seq_len = num_patches + 2 + int(rng.integers(4, 24))
+            # img part = [CLS] [PATCH] + patches (how the pipeline counts)
+            img_wp = num_patches + 2
+            txt_wp = int(rng.integers(1, max_seq_len - img_wp + 1))
+
+            cfg = types.SimpleNamespace(
+                image_size=P * 16, patch_size=16, max_seq_len=max_seq_len
+            )
+            add_fn = get_fn(cfg, relative_pos_max_distance=t,
+                            relative_att_num_core_layers=r)
+            feats = add_fn({
+                "num_image_wordpieces": tf.constant(img_wp, tf.int32),
+                "num_text_wordpieces": tf.constant(txt_wp, tf.int32),
+            })
+
+            err = (f"trial={trial} P={P} r={r} t={t} "
+                   f"S={max_seq_len} img={img_wp} txt={txt_wp}")
+            np.testing.assert_array_equal(
+                np.asarray(make_segment_ids(max_seq_len, img_wp, txt_wp)),
+                feats["segment_ids"].numpy(), err_msg=err)
+            np.testing.assert_array_equal(
+                np.asarray(make_att_mask_from_length(
+                    max_seq_len, img_wp + txt_wp)),
+                feats["att_mask"].numpy(), err_msg=err)
+            ours_rel = OursGen(P, r, t).make_relative_att_ids(
+                max_seq_len, batch_size=1)[0]
+            np.testing.assert_array_equal(
+                ours_rel, feats["relative_att_ids"].numpy(), err_msg=err)
