@@ -379,3 +379,77 @@ class TestLiveDifferentialSideInputs:
                 max_seq_len, batch_size=1)[0]
             np.testing.assert_array_equal(
                 ours_rel, feats["relative_att_ids"].numpy(), err_msg=err)
+
+
+class TestLiveDifferentialMatching:
+    """Execute the reference's ITM in-batch negative mining and fuzz ours.
+
+    ``get_matching_fn`` (/root/reference/src/data/data_utils.py:642-712)
+    is pure TF — AST-extracted and exec'd under the installed TF, no
+    stubs.  Fuzzes the sort-by-image-key grouping, the (ratio+1)-way
+    tile, the rolled text permutations, and the ITM label/weight
+    construction against ``mmt_tpu.features.matching``.  Features are
+    the exact key set the reference pipeline carries at this stage.
+    """
+
+    def _load(self):
+        import ast
+
+        import tensorflow as tf
+
+        du_path = "/root/reference/src/data/data_utils.py"
+        src = open(du_path).read()
+        lines = src.splitlines()
+        seg = None
+        for node in ast.parse(src).body:
+            if getattr(node, "name", None) == "get_matching_fn":
+                seg = "\n".join(lines[node.lineno - 1:node.end_lineno])
+        assert seg, "reference layout changed"
+        ns = {"tf": tf}
+        exec(compile(seg, du_path, "exec"), ns)
+        return ns["get_matching_fn"]
+
+    def test_fuzz_vs_reference_source(self):
+        import types
+
+        import pytest
+
+        tf = pytest.importorskip("tensorflow")
+        get_fn = self._load()
+
+        rng = np.random.default_rng(20260821)
+        for trial in range(20):
+            B = int(rng.integers(8, 17))
+            ratio = int(rng.integers(1, 3))
+            hi = B - ratio - 2  # keep the reference's batch-size assert true
+            min_shift = int(rng.integers(1, max(2, hi + 1)))
+            min_shift = min(min_shift, hi)
+            T, Np, M = 6, 4, 3
+            # duplicate keys exercise the unique/argsort grouping
+            keys = [f"img{int(rng.integers(0, B))}" for _ in range(B)]
+            feats = {
+                "text_token_ids":
+                    rng.integers(0, 100, (B, T)).astype(np.int32),
+                "num_text_wordpieces":
+                    rng.integers(1, T + 1, (B,)).astype(np.int32),
+                "patch_token_ids":
+                    rng.integers(100, 120, (B, Np)).astype(np.int32),
+                "patch_embeddings":
+                    rng.normal(size=(B, Np, 8)).astype(np.float32),
+                "num_image_wordpieces": np.full((B,), Np, np.int32),
+                "mlm_positions": rng.integers(0, T, (B, M)).astype(np.int32),
+                "mlm_label_ids":
+                    rng.integers(0, 100, (B, M)).astype(np.int32),
+                "mlm_label_weights": np.ones((B, M), np.float32),
+            }
+            cfg = types.SimpleNamespace(image_key_field="image_key")
+            tf_feats = {k: tf.constant(v) for k, v in feats.items()}
+            tf_feats["image_key"] = tf.constant(keys)
+            ref = get_fn(cfg, B, ratio, min_shift)(tf_feats)
+            ours = make_matching_features(dict(feats), keys, ratio, min_shift)
+
+            err = f"trial={trial} B={B} ratio={ratio} shift={min_shift}"
+            assert set(ours) == set(ref), err
+            for k in ours:
+                np.testing.assert_array_equal(
+                    ours[k], ref[k].numpy(), err_msg=f"{err} key={k}")
