@@ -259,9 +259,14 @@ class TestLiveDifferentialSideInputs:
 
     def _load(self):
         import ast
+        import os
         import types
 
         import tensorflow as tf
+
+        if not os.path.exists(self.REF_ROOT):
+            import pytest
+            pytest.skip("reference tree not present")
 
         from mmt_tpu.features.relative_position import (
             RelativePositionGenerator as Ours1D,
@@ -394,10 +399,14 @@ class TestLiveDifferentialMatching:
 
     def _load(self):
         import ast
+        import os
 
         import tensorflow as tf
 
         du_path = "/root/reference/src/data/data_utils.py"
+        if not os.path.exists(du_path):
+            import pytest
+            pytest.skip("reference tree not present")
         src = open(du_path).read()
         lines = src.splitlines()
         seg = None

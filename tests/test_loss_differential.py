@@ -7,6 +7,8 @@ against our optax implementation, including the divide-no-nan all-zero-
 weights case and the pos_weights path.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -27,6 +29,8 @@ class _MetricStub:
 
 def _load_reference_loss():
     tf = pytest.importorskip("tensorflow")
+    if not os.path.exists(_REF):
+        pytest.skip("reference tree not present")
     ns = {"tf": tf}
     exec(compile(open(_REF).read(), _REF, "exec"), ns)
     return ns["weighted_sparse_categorical_crossentropy_loss"]

@@ -22,8 +22,11 @@ _REF = "/root/reference/src/tasks/pretraining.py"
 
 def _load_process_metrics():
     import ast
+    import os
 
     tf = pytest.importorskip("tensorflow")
+    if not os.path.exists(_REF):
+        pytest.skip("reference tree not present")
 
     src = open(_REF).read()
     lines = src.splitlines()

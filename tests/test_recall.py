@@ -11,8 +11,11 @@ implementations share), one text whose ground-truth image is outside
 its scored pool, and an image that is nobody's ground truth.
 """
 
+import os
+
 import numpy as np
 import pandas as pd
+import pytest
 
 from mmt_tpu.eval.recall import get_recall_at_k_from_dataframe
 
@@ -151,6 +154,8 @@ def _load_reference_recall():
     differential: the reference algorithm actually runs here.
     """
     path = "/root/reference/src/prediction_helper.py"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
     with open(path) as f:
         lines = f.readlines()
     start = next(i for i, l in enumerate(lines)

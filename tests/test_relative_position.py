@@ -165,10 +165,13 @@ def _load_reference_generator():
     per-patch crop, text/image part-id padding, and the final concat
     (``/root/reference/src/feature_utils.py:89-184``).
     """
+    import os
     import types
 
     import tensorflow as tf
 
+    if not os.path.exists(_REFERENCE_SRC):
+        pytest.skip("reference tree not present")
     src = open(_REFERENCE_SRC).read().replace(
         "from etcmodel import feature_utils as etc_feature_utils", ""
     )
