@@ -30,6 +30,11 @@ def parse_args(argv=None):
     p.add_argument("--init_checkpoint", required=True)
     p.add_argument("--test_output_dir", required=True)
     p.add_argument("--predict_global_batch_size", type=int, default=2048)
+    p.add_argument(
+        "--export_serving_artifact", default="",
+        help="write the scoring computation as a portable jax.export "
+             "artifact (StableHLO, symbolic batch dim) to this path and "
+             "exit without scoring; see mmt_tpu/eval/export.py")
     return p.parse_args(argv)
 
 
@@ -113,6 +118,16 @@ def main(argv=None):
     restored = mgr.restore(template={"params": params})
     params = restored["params"]
     logging.info("restored checkpoint from %s", args.init_checkpoint)
+
+    if args.export_serving_artifact:
+        from mmt_tpu.eval.export import export_scoring
+
+        blob = export_scoring(task, params, first)
+        with open(args.export_serving_artifact, "wb") as f:
+            f.write(blob)
+        logging.info("wrote serving artifact (%d bytes) to %s",
+                     len(blob), args.export_serving_artifact)
+        return
 
     # Shard scoring over all attached chips (reference distributed
     # predict, src/tasks/classification.py:302-322).
