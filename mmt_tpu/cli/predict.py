@@ -122,7 +122,11 @@ def main(argv=None):
     if args.export_serving_artifact:
         from mmt_tpu.eval.export import export_scoring
 
-        blob = export_scoring(task, params, first)
+        # Mosaic kernels do not lower with symbolic shapes: pallas
+        # configs get a static-batch artifact (one per serving batch).
+        impl = cfg.task.model.encoder.get().attention_impl
+        blob = export_scoring(task, params, first,
+                              symbolic_batch=(impl != "pallas"))
         with open(args.export_serving_artifact, "wb") as f:
             f.write(blob)
         logging.info("wrote serving artifact (%d bytes) to %s",

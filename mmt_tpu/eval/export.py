@@ -46,6 +46,7 @@ def export_scoring(
     params,
     example_batch,
     platforms: Optional[Sequence[str]] = None,
+    symbolic_batch: bool = True,
 ) -> bytes:
     """Serializes ``task``'s inference step to a portable artifact.
 
@@ -57,6 +58,12 @@ def export_scoring(
         artifact's static shapes (seq len, patch grid).
       platforms: lowering targets, e.g. ``("cpu", "tpu")``; default is
         the current backend.
+      symbolic_batch: export with a polymorphic batch dimension (one
+        artifact, any batch size).  Mosaic kernels do not lower with
+        symbolic shapes, so ``attention_impl='pallas'`` configs must
+        pass False and export one artifact per serving batch size (the
+        example_batch's leading dim; measured on TPU, see the kernel
+        export probe in ROADMAP).
 
     Returns:
       ``bytes`` — pass to ``load_scoring`` (or write to disk).
@@ -72,13 +79,17 @@ def export_scoring(
             return jax.nn.softmax(logits, axis=-1)[:, 1]
         return jax.numpy.argmax(logits, axis=-1).astype(jax.numpy.float32)
 
-    scope = jax_export.SymbolicScope()
-    (b,) = jax_export.symbolic_shape("b", scope=scope)
+    if symbolic_batch:
+        scope = jax_export.SymbolicScope()
+        (b,) = jax_export.symbolic_shape("b", scope=scope)
 
-    def sym(x):
-        return jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype)
+        def spec(x):
+            return jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype)
+    else:
+        def spec(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
 
-    input_specs = jax.tree.map(sym, inputs)
+    input_specs = jax.tree.map(spec, inputs)
     param_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
     )

@@ -57,6 +57,20 @@ class TestExportScoring:
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+    def test_static_batch_export(self, exported):
+        """symbolic_batch=False (the Mosaic-kernel path): the artifact is
+        fixed to the example batch size."""
+        task, params, _ = exported
+        batch = classification_batch(B=4)
+        blob = export_scoring(task, params, batch, symbolic_batch=False)
+        art = load_scoring(blob)
+        got = np.asarray(art.call(params, scoring_inputs(batch)))
+        want = np.asarray(task.make_inference_step()(params, batch))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+        with pytest.raises(Exception):  # wrong batch size must be rejected
+            art.call(params, scoring_inputs(classification_batch(B=8)))
+
+
 def test_predict_cli_export_flag(tmp_path):
     """--export_serving_artifact writes a loadable artifact and skips
     scoring (no results.csv)."""
