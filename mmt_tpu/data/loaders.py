@@ -76,38 +76,10 @@ def _glob_shard(
     return files[shard_index::num_shards], False
 
 
-def _shuffle_stream(stream, buffer_size: int, rng) -> Iterator:
-    """tf.data-style shuffle: keep a buffer, emit a uniformly random
-    element, refill from the stream (src/data/pretrain_dataloader.py:214)."""
-    if buffer_size <= 0:  # shuffling disabled
-        yield from stream
-        return
-    buf = list(itertools.islice(stream, buffer_size))
-    if not buf:
-        return
-    for item in stream:
-        i = int(rng.integers(len(buf)))
-        yield buf[i]
-        buf[i] = item
-    rng.shuffle(buf)
-    yield from buf
-
-
 def _unbatch(batch: Dict[str, np.ndarray]) -> Iterator[Dict[str, np.ndarray]]:
     n = len(next(iter(batch.values())))
     for i in range(n):
         yield {k: v[i] for k, v in batch.items()}
-
-
-def _rebatch(stream, batch_size: int, drop_remainder: bool):
-    buf: List[Dict[str, np.ndarray]] = []
-    for item in stream:
-        buf.append(item)
-        if len(buf) == batch_size:
-            yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}
-            buf = []
-    if buf and not drop_remainder:
-        yield {k: np.stack([e[k] for e in buf]) for k in buf[0]}
 
 
 def _segment_ids(max_seq_len: int, img_wp: int, txt_wp: int) -> np.ndarray:

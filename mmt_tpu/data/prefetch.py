@@ -44,8 +44,16 @@ class LoaderShard:
         )
 
 
-def _worker(loader_fn, shard, num_shards, out_queue, prefetch):
+def _worker(loader_fn, shard, num_shards, out_queue, binding_lines):
     try:
+        if binding_lines:
+            # Spawn workers re-import every module fresh, so gin-style
+            # bindings applied in the parent (--gin_file/--gin_params)
+            # must be re-applied here or loaders would silently build
+            # with unbound defaults.
+            from mmt_tpu.utils.bindings import apply_bindings
+
+            apply_bindings(params=binding_lines)
         for batch in loader_fn(shard, num_shards):
             out_queue.put(batch)
     finally:
@@ -80,6 +88,9 @@ def multiprocess_batches(
             "under a multi-threaded JAX parent)"
         )
         ctx = mp.get_context("fork")
+    from mmt_tpu.utils.bindings import snapshot_bindings
+
+    binding_lines = tuple(snapshot_bindings())
     queues = []
     procs = []
     for i in range(num_workers):
@@ -87,7 +98,7 @@ def multiprocess_batches(
         p = ctx.Process(
             target=_worker,
             args=(loader_fn, base_shard * num_workers + i,
-                  total_shards * num_workers, q, prefetch_per_worker),
+                  total_shards * num_workers, q, binding_lines),
             daemon=True,
         )
         p.start()

@@ -38,6 +38,13 @@ from typing import Any, Dict, Iterable, List, Sequence, Tuple
 _OVERRIDES: Dict[str, Any] = {}
 # registered configurable name -> set of parameter names (validation).
 _CONFIGURABLES: Dict[str, set] = {}
+# Raw 'key = value' lines successfully applied, in order — shipped to
+# spawn-started loader workers, which re-import modules fresh and would
+# otherwise never see parent-process bindings (see data/prefetch.py).
+_APPLIED_LINES: List[str] = []
+# (obj, attr, had_own_entry, old_value) undo log for module-attribute
+# bindings so clear_bindings() reverses them too.
+_ATTR_RESTORE: List[Tuple[Any, str, bool, Any]] = []
 
 
 def configurable(fn=None, *, name: str = None):
@@ -65,14 +72,27 @@ def configurable(fn=None, *, name: str = None):
     return wrapper
 
 
+def _import_or_skip(modname: str):
+    """Imports ``modname``; returns None when the module (or one of its
+    parents) simply does not exist, but PROPAGATES failures from inside
+    an existing module's own import (a swallowed transitive ImportError
+    would be masked by a misleading shorter-prefix error later)."""
+    try:
+        return importlib.import_module(modname)
+    except ModuleNotFoundError as e:
+        missing = e.name or ""
+        if missing == modname or modname.startswith(missing + "."):
+            return None  # this prefix is not a module: try a shorter one
+        raise  # the module exists; a dependency inside it is missing
+
+
 def resolve_reference(path: str) -> Any:
     """``@pkg.mod.Obj`` -> the imported object (gin's ``@`` syntax)."""
     path = path.lstrip("@").replace(":", ".")
     parts = path.split(".")
     for cut in range(len(parts) - 1, 0, -1):
-        try:
-            obj = importlib.import_module(".".join(parts[:cut]))
-        except ImportError:
+        obj = _import_or_skip(".".join(parts[:cut]))
+        if obj is None:
             continue
         for attr in parts[cut:]:
             obj = getattr(obj, attr)
@@ -93,10 +113,31 @@ def _parse_value(text: str) -> Any:
         )
 
 
-def parse_bindings(lines: Iterable[str]) -> List[Tuple[str, Any]]:
+def _strip_comment(line: str) -> str:
+    """Removes a trailing ``#`` comment, but not a ``#`` inside a quoted
+    string literal (gin accepts ``NAME = "run#1"``)."""
+    quote = None
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if quote is not None:
+            if c == "\\":
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "#":
+            return line[:i]
+        i += 1
+    return line
+
+
+def _parse_lines(lines: Iterable[str]) -> List[Tuple[str, Any, str]]:
     out = []
     for raw in lines:
-        line = raw.split("#", 1)[0].strip()
+        line = _strip_comment(raw).strip()
         if not line:
             continue
         if "=" not in line:
@@ -106,34 +147,52 @@ def parse_bindings(lines: Iterable[str]) -> List[Tuple[str, Any]]:
         if not key or "." not in key:
             raise ValueError(
                 f"binding target must be 'scope.attr', got {key!r}")
-        out.append((key, _parse_value(value)))
+        out.append((key, _parse_value(value), line))
     return out
+
+
+def parse_bindings(lines: Iterable[str]) -> List[Tuple[str, Any]]:
+    return [(key, value) for key, value, _ in _parse_lines(lines)]
+
+
+def _bind_configurable(name: str, param: str, value: Any) -> None:
+    if param not in _CONFIGURABLES[name]:
+        raise ValueError(
+            f"{name!r} has no parameter {param!r} "
+            f"(has: {sorted(_CONFIGURABLES[name])})")
+    _OVERRIDES[f"{name}.{param}"] = value
 
 
 def _bind_one(key: str, value: Any) -> None:
     parts = key.split(".")
     # 1) module-attribute target: longest importable prefix + getattrs.
     for cut in range(len(parts) - 1, 0, -1):
-        try:
-            obj = importlib.import_module(".".join(parts[:cut]))
-        except ImportError:
+        obj = _import_or_skip(".".join(parts[:cut]))
+        if obj is None:
             continue
         for attr in parts[cut:-1]:
             obj = getattr(obj, attr)
-        if not hasattr(obj, parts[-1]):
+        final = parts[-1]
+        # A fully-qualified configurable ('pkg.mod.build_encoder.param'
+        # resolves to the @configurable wrapper): bind the parameter,
+        # same as the short 'build_encoder.param' spelling.
+        cfg_name = getattr(obj, "_configurable_name", None)
+        if cfg_name in _CONFIGURABLES and final in _CONFIGURABLES[cfg_name]:
+            _bind_configurable(cfg_name, final, value)
+            return
+        if not hasattr(obj, final):
             raise AttributeError(
                 f"binding target {key!r}: {obj!r} has no attribute "
-                f"{parts[-1]!r}")
-        setattr(obj, parts[-1], value)
+                f"{final!r}")
+        had_own = final in getattr(obj, "__dict__", {})
+        _ATTR_RESTORE.append(
+            (obj, final, had_own, getattr(obj, final) if had_own else None))
+        setattr(obj, final, value)
         return
-    # 2) configurable-function parameter.
+    # 2) configurable-function parameter (short form).
     name, param = ".".join(parts[:-1]), parts[-1]
     if name in _CONFIGURABLES:
-        if param not in _CONFIGURABLES[name]:
-            raise ValueError(
-                f"{name!r} has no parameter {param!r} "
-                f"(has: {sorted(_CONFIGURABLES[name])})")
-        _OVERRIDES[f"{name}.{param}"] = value
+        _bind_configurable(name, param, value)
         return
     raise ValueError(
         f"unknown binding target {key!r}: not an importable module "
@@ -145,16 +204,35 @@ def apply_bindings(files: Sequence[str] = (),
                    params: Sequence[str] = ()) -> int:
     """Applies gin-style bindings from files then inline params
     (later bindings win, matching gin).  Returns the binding count."""
-    bindings: List[Tuple[str, Any]] = []
+    bindings: List[Tuple[str, Any, str]] = []
     for path in files or ():
         with open(path) as f:
-            bindings.extend(parse_bindings(f))
-    bindings.extend(parse_bindings(params or ()))
-    for key, value in bindings:
+            bindings.extend(_parse_lines(f))
+    bindings.extend(_parse_lines(params or ()))
+    for key, value, line in bindings:
         _bind_one(key, value)
+        _APPLIED_LINES.append(line)
     return len(bindings)
 
 
+def snapshot_bindings() -> List[str]:
+    """Raw binding lines applied so far — re-apply in spawn-started
+    worker processes via ``apply_bindings(params=snapshot)`` (file
+    contents are already inlined, so workers need no file access)."""
+    return list(_APPLIED_LINES)
+
+
 def clear_bindings() -> None:
-    """Resets configurable-parameter overrides (tests)."""
+    """Reverses all bindings: configurable-parameter overrides AND
+    module-attribute assignments (restored in reverse order)."""
     _OVERRIDES.clear()
+    _APPLIED_LINES.clear()
+    while _ATTR_RESTORE:
+        obj, attr, had_own, old = _ATTR_RESTORE.pop()
+        if had_own:
+            setattr(obj, attr, old)
+        else:
+            try:
+                delattr(obj, attr)
+            except AttributeError:
+                pass

@@ -62,6 +62,15 @@ class TestParsing:
         with pytest.raises(ValueError, match="without '='"):
             parse_bindings(["a.x"])
 
+    def test_hash_inside_string_literal(self):
+        # gin accepts '#' inside quoted strings; only a # outside
+        # quotes starts a comment.
+        got = dict(parse_bindings([
+            'a.run = "run#1"  # this part IS a comment',
+            "a.tag = 'x#y#z'",
+        ]))
+        assert got == {"a.run": "run#1", "a.tag": "x#y#z"}
+
 
 class TestBinding:
     def test_module_attribute(self):
@@ -101,6 +110,34 @@ class TestBinding:
                        params=["tests.fixtures_bindings.TUNABLE = 4.0"])
         assert fixtures_bindings.TUNABLE == 4.0  # later bindings win
 
+    def test_clear_bindings_restores_module_attribute(self):
+        apply_bindings(params=["tests.fixtures_bindings.TUNABLE = 9.0"])
+        assert fixtures_bindings.TUNABLE == 9.0
+        clear_bindings()
+        assert fixtures_bindings.TUNABLE == 1.0
+
+    def test_snapshot_replays_in_fresh_state(self):
+        apply_bindings(params=["tests.fixtures_bindings.TUNABLE = 7.0"])
+        snap = bindings.snapshot_bindings()
+        clear_bindings()
+        assert fixtures_bindings.TUNABLE == 1.0
+        apply_bindings(params=snap)  # what a spawn worker does
+        assert fixtures_bindings.TUNABLE == 7.0
+
+    def test_transitive_import_error_propagates(self, tmp_path,
+                                                monkeypatch):
+        # A module that EXISTS but whose own import fails must surface
+        # its real error, not a misleading shorter-prefix fallback.
+        (tmp_path / "broken_mod.py").write_text(
+            "import no_such_dependency_xyz\nX = 1\n")
+        monkeypatch.syspath_prepend(str(tmp_path))
+        with pytest.raises(ModuleNotFoundError,
+                           match="no_such_dependency_xyz"):
+            apply_bindings(params=["broken_mod.X = 2"])
+        with pytest.raises(ModuleNotFoundError,
+                           match="no_such_dependency_xyz"):
+            resolve_reference("@broken_mod.X")
+
 
 class TestBuildEncoderInjection:
     def test_gin_binding_injects_encoder_cls(self):
@@ -113,6 +150,25 @@ class TestBuildEncoderInjection:
 
         apply_bindings(params=[
             "build_encoder.encoder_cls = "
+            "@tests.fixtures_encoder.TinyCustomEncoder",
+        ])
+        cfg = EncoderConfig(mmt=MmtEncoderConfig(
+            vocab_size=40, hidden_size=8, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=16,
+            compute_dtype="float32",
+        ))
+        enc = build_encoder(cfg, num_patch_per_row=2)
+        assert type(enc).__name__ == "TinyCustomEncoder"
+
+    def test_fully_qualified_configurable_binding(self):
+        """Gin's normal fully-qualified form —
+        pkg.mod.build_encoder.encoder_cls — must bind the configurable
+        parameter, not try to setattr on the wrapper function."""
+        from mmt_tpu.configs.encoder import (
+            EncoderConfig, MmtEncoderConfig, build_encoder)
+
+        apply_bindings(params=[
+            "mmt_tpu.configs.encoder.build_encoder.encoder_cls = "
             "@tests.fixtures_encoder.TinyCustomEncoder",
         ])
         cfg = EncoderConfig(mmt=MmtEncoderConfig(
