@@ -15,9 +15,15 @@ transfer as the sync point.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# `import bench` resolves against the repo root regardless of cwd /
+# PYTHONPATH (python puts the *script's* directory on sys.path, not cwd).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _measure_inference(seq_len: int, batch: int, iters: int = 8,
@@ -707,6 +713,34 @@ def main():
             "unit": "examples/sec",
             "achieved_tflops": tfl, "mfu_pct_v5e_bf16": mfu,
             "max_prob_deviation_vs_fp": round(_int8_score_deviation(s), 5),
+        })
+    # int8 at the 4k flagship shape: dense, and stacked with the
+    # sliding-window pattern (the long-context serving config --
+    # quantized projections/FFN compose with the sparse attention).
+    # The measurement build is reused for the deviation check (inputs
+    # are seed-identical across builds), so each row costs two 4k
+    # compiles, not four.
+    for wname, w in (("", 0), ("_window512", 512)):
+        name = f"fashion_gen_4k_retrieval_inference{wname}_int8"
+        if not want(name):
+            continue
+        fwd_q, args_q = bench.build("pallas", "bfloat16", 32, seq_len=4096,
+                                    quantize="int8_dynamic", window=w)
+        eps = bench.measure(fwd_q, args_q, 32, iters=8)
+        flops = bench.model_flops_per_example(
+            args_q[-1], window=w, num_global=198 if w else 0)
+        tfl = eps * flops / 1e12
+        fwd_fp, args_fp = bench.build("pallas", "bfloat16", 32, seq_len=4096,
+                                      window=w)
+        dev = float(np.max(np.abs(
+            np.asarray(fwd_fp(*args_fp))
+            - np.asarray(fwd_q(args_q[0], *args_fp[1:])))))
+        emit({
+            "metric": name, "value": round(eps, 3), "unit": "examples/sec",
+            "achieved_tflops": round(tfl, 2),
+            "mfu_pct_v5e_bf16": round(
+                100.0 * tfl * 1e12 / bench.V5E_BF16_PEAK, 2),
+            "max_prob_deviation_vs_fp": round(dev, 5),
         })
     if want("pretrain_train_step_s256"):
         eps_train = _measure_pretrain_step()
