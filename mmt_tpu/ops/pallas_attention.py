@@ -37,14 +37,29 @@ fused at long sequence lengths:
 * Padding masks are computed in-kernel from per-example lengths with the
   reference's segmented semantics; masked logits get the additive -10000
   used by the dense XLA path (numerically aligned paths).
-* Backward: two kernels (dq+dRelTable with a per-(b,h) accumulator;
-  dk+dv with q streamed) recompute p from the saved logsumexp, mirroring
-  the forward bias structure.  The dRelTable band scatter is the
-  INVERSE skew: mask-multiply, one strided roll (stride bk-1 == -1 mod
-  bk -- positive operands only), then one constant 0/1 MXU contraction
-  scatters band columns into their vid lanes (measured 49.6 -> 42.7
-  ms/layer fwd+bwd vs the per-offset select loop, which remains as
+* Backward (default ``MMT_ATTN_BWD=fused``): ONE row-major tile sweep
+  produces dq + dRelTable + dk + dv; dk/dv accumulate in a full-K VMEM
+  scratch written out once per (batch, head-group) slice, deleting the
+  two-pass schedule's second logits/bias/exp recompute and its grid's
+  fetch slots (measured 49.5 -> 35.8 ms/layer fwd+bwd dense at
+  B=8/S=4096, all-cotangents; bit-identical by construction).  A
+  head-packing cap (`_backward_head_packing`) shrinks hb when the
+  scratch would starve double-buffering (16k).  The split two-pass
+  kernels remain as ``MMT_ATTN_BWD=split``.  p is recomputed from the
+  saved logsumexp, mirroring the forward bias structure; the dRelTable
+  band scatter is the INVERSE skew: mask-multiply, one strided roll
+  (stride bk-1 == -1 mod bk -- positive operands only), then one
+  constant 0/1 MXU contraction scatters band columns into their vid
+  lanes (measured 49.6 -> 42.7 ms/layer fwd+bwd under the old split
+  schedule vs the per-offset select loop, which remains as
   MMT_ATTN_DSV=loop and as the narrow-tile fallback).
+* Windowed configs run LIST-DRIVEN grids (a scalar-prefetched table
+  enumerates only the pattern's live tiles, qi- or ki-sorted), so
+  skipped tiles cost neither compute nor a fetch slot: fwd 8.03 vs
+  9.67 ms/layer for the rect grid at 4k/window 512, 16.80 vs 22.84 at
+  8k -- TPU-verified bit-identical to the rect grid
+  (`scripts/window_tpu_smoke.py`); ``MMT_ATTN_WINDOW_GRID=rect``
+  reverts.
 * Tile metadata is scalar-prefetched as [4, T] (SMEM lane padding makes
   [T, 4] cost 512 B/row -- a 1 MB OOM at 2k tiles).
 
