@@ -8,6 +8,12 @@ scored pair carrying image_index/text_index/gt_image_index; gt -1 when
 the ground truth is absent from the pool).
 
 Usage:
+  # candidate-pool CSV from a raw Fashion-BERT/Kaleido-BERT pairs file
+  # (columns: image_prod_id, prod_img_id, text_prod_id, desc)
+  python -m mmt_tpu.preprocessing.fashion_gen metadata \
+      --pairs_csv=fashion_gen_i2t_test_pairs.csv --task=i2t \
+      --output_csv=fashion_bert_i2t_test.csv
+
   # paired split records
   python -m mmt_tpu.preprocessing.fashion_gen split \
       --txt_info=full_train_info.txt --images_dir=imgs --output=fg.train.recordio
@@ -91,6 +97,55 @@ def build_retrieval(
     return meta
 
 
+def build_metadata(pairs_csv, task, output_csv):
+    """Builds the i2t/t2i candidate CSV from a raw Fashion-BERT/Kaleido-BERT
+    pool file (metadata-notebook parity).
+
+    Parity: ``preprocessing/create_fashion_gen_metadata.ipynb`` (cells
+    5-11).  Input columns: ``image_prod_id``, ``prod_img_id``,
+    ``text_prod_id``, ``desc`` (one row per scored image-text pair; a
+    product has one description and possibly several images).  Adds:
+
+    * ``image_id``   = ``image_prod_id + '_' + prod_img_id``
+    * ``text_index`` = pandas categorical codes of ``text_prod_id``
+      (i.e. rank in the sorted unique values — faithful to
+      ``.astype('category').cat.codes``)
+    * ``image_index`` = categorical codes of ``image_id``
+    * ``gt`` = 1 where ``image_prod_id == text_prod_id``
+    * ``gt_image_index`` via a left merge of the gt rows on
+      ``text_index``; for i2t, texts whose ground-truth image is absent
+      from the pool get −1 (``fillna(-1)`` then int cast); for t2i the
+      notebook asserts every text has its gt present and does neither
+      (faithful — a missing t2i gt would surface as a float/NaN column
+      exactly as upstream).
+
+    Faithful quirk: a text with several gt rows (multiple images of its
+    own product in the pool) is row-duplicated by the merge, as
+    upstream.  Output keeps every input column plus the added ones, so
+    it feeds ``build_retrieval`` (which needs image_id/desc/indices)
+    directly.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(
+        pairs_csv,
+        dtype={"image_prod_id": str, "prod_img_id": str, "text_prod_id": str},
+    )
+    df["image_id"] = df["image_prod_id"] + "_" + df["prod_img_id"]
+    df["text_index"] = df["text_prod_id"].astype("category").cat.codes
+    df["image_index"] = df["image_id"].astype("category").cat.codes
+    df["gt"] = (df["image_prod_id"] == df["text_prod_id"]).astype(int)
+    gt_df = df[df["gt"] == 1][["text_index", "image_index"]].rename(
+        columns={"image_index": "gt_image_index"}
+    )
+    df = df.merge(gt_df, how="left", on="text_index")
+    if task == "i2t":
+        df = df.fillna(-1)
+        df["gt_image_index"] = df["gt_image_index"].astype(int)
+    df.to_csv(output_csv, index=False)
+    return df
+
+
 def build_candidates(
     txt_info_path, task, output_csv, num_queries=1000, pool_size=101, seed=0,
     gt_dropout=0.011,
@@ -167,6 +222,11 @@ def main(argv=None):
     ps.add_argument("--output", required=True)
     ps.add_argument("--image_ext", default="png")
 
+    pm = sub.add_parser("metadata")
+    pm.add_argument("--pairs_csv", required=True)
+    pm.add_argument("--task", choices=["i2t", "t2i"], required=True)
+    pm.add_argument("--output_csv", required=True)
+
     pc = sub.add_parser("candidates")
     pc.add_argument("--txt_info", required=True)
     pc.add_argument("--task", choices=["i2t", "t2i"], required=True)
@@ -188,6 +248,9 @@ def main(argv=None):
     if args.cmd == "split":
         n = build_split(args.txt_info, args.images_dir, args.output, args.image_ext)
         print(f"wrote {n} examples to {args.output}")
+    elif args.cmd == "metadata":
+        df = build_metadata(args.pairs_csv, args.task, args.output_csv)
+        print(f"wrote {len(df)} candidate pairs to {args.output_csv}")
     elif args.cmd == "candidates":
         n = build_candidates(
             args.txt_info, args.task, args.output_csv,
