@@ -51,8 +51,11 @@ def _int8_score_deviation(seq_len: int, batch: int = 16,
     fwd_q, args_q = bench.build("pallas", "bfloat16", batch, seq_len=seq_len,
                                 min_len=min_len, max_len=max_len,
                                 quantize="int8_dynamic")
+    # One params object for both (ADVICE r4 #1): int8_dynamic quantizes at
+    # trace time, so the fp tree feeds the quantized forward directly.
+    del args_q
     p_fp = np.asarray(fwd_fp(*args))
-    p_q = np.asarray(fwd_q(args_q[0], *args[1:]))
+    p_q = np.asarray(fwd_q(*args))
     return float(np.max(np.abs(p_fp - p_q)))
 
 
@@ -719,8 +722,9 @@ def main():
     # quantized projections/FFN compose with the sparse attention).
     # The measurement build is reused for the deviation check (inputs
     # are seed-identical across builds), so each row costs two 4k
-    # compiles, not four.
-    for wname, w in (("", 0), ("_window512", 512)):
+    # compiles, not four.  Gated behind --long with the other
+    # multi-minute 4k first-compile rows (ADVICE r4 #2).
+    for wname, w in (("", 0), ("_window512", 512)) if args.long else ():
         name = f"fashion_gen_4k_retrieval_inference{wname}_int8"
         if not want(name):
             continue
@@ -732,9 +736,13 @@ def main():
         tfl = eps * flops / 1e12
         fwd_fp, args_fp = bench.build("pallas", "bfloat16", 32, seq_len=4096,
                                       window=w)
+        # One params object for BOTH forwards: int8_dynamic quantizes at
+        # trace time, so fwd_q accepts the fp param tree directly -- the
+        # deviation then measures the quantization path alone even if a
+        # future quantize mode stores transformed params (ADVICE r4 #1).
         dev = float(np.max(np.abs(
             np.asarray(fwd_fp(*args_fp))
-            - np.asarray(fwd_q(args_q[0], *args_fp[1:])))))
+            - np.asarray(fwd_q(args_fp[0], *args_fp[1:])))))
         emit({
             "metric": name, "value": round(eps, 3), "unit": "examples/sec",
             "achieved_tflops": round(tfl, 2),
