@@ -415,8 +415,12 @@ def _apply_image_bias(biases, qrs, meta_ref, t, q_base, k_base, shape, geo,
 
 
 def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
-                     block_q, block_k):
+                     block_q, block_k, skip_image=False):
     """Relative bias tiles for a list of per-head qr matrices.
+
+    ``skip_image=True`` omits the image-image 2D-id contribution (the
+    caller adds it from a precomputed corner fetch -- ``MMT_ATTN_IMG``);
+    the region select/multiply that ZEROES non-text pairs still runs.
 
     Lean assembly shared across the packed heads: one sublane/lane
     index-difference tile, scalar-shifted compares (no materialized
@@ -510,7 +514,7 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
                 out.append(bias)
             biases = out
 
-        if img_len:
+        if img_len and not skip_image:
             biases = _apply_image_bias(
                 biases, qrs, meta_ref, t, q_base, k_base, shape, geo,
                 rel_vocab,
@@ -581,10 +585,271 @@ def _tile_bias_multi(qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
             ttf = tt.astype(biases[0].dtype)
             biases = [bias * ttf for bias in biases]
 
-        biases = _apply_image_bias(
-            biases, qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
-        )
+        if not skip_image:
+            biases = _apply_image_bias(
+                biases, qrs, meta_ref, t, q_base, k_base, shape, geo,
+                rel_vocab,
+            )
     return biases
+
+
+def _hbm_bias_on(geometry, rel_vocab, block_q, block_k, static_offsets,
+                 square) -> bool:
+    """``MMT_ATTN_BIAS=hbm``: precomputed bias-slot fetch (VERDICT r4 #1).
+
+    Instead of regenerating the relative bias on the VPU every grid step
+    (the measured ~6.8 ms/layer chain at the 4k flagship), the bias is
+    materialized OUTSIDE the kernel by plain XLA -- where the vocab
+    gather is a native op -- but only for the tile classes whose content
+    is not row-constant: per (batch, head, q-block) the 4 "structured"
+    slots {key-block 0, q-block-1, q-block, q-block+1} (the 25-diagonal
+    text band, the 2D image corner, and the image/text boundary columns
+    all live there).  Every other tile's bias is constant along each
+    query row (the far clip / part value), so it rides the flash row
+    statistics at zero per-element cost (the ``far_only`` mechanism).
+    The kernel fetches one [hb, bq, bk] slot per grid step through a
+    clamped index map -- consecutive far steps map to the same slot and
+    Mosaic elides the refetch, so a q-row costs exactly 4 fetches.
+    Requires the fast band path (block_k >= 2*dtd+1) and static offsets;
+    dense pattern only (the windowed list grid keeps the in-kernel
+    chain)."""
+    if os.environ.get("MMT_ATTN_BIAS", "select") != "hbm":
+        return False
+    return (
+        rel_vocab > 0
+        and geometry is not None
+        and geometry.window == 0
+        and static_offsets
+        and square
+        and block_q == block_k  # slot set {ki-1,ki,ki+1} assumes square
+        and block_k >= 2 * geometry.text_max_distance + 1
+    )
+
+
+def _hbm_store_dtype():
+    """Slot-buffer dtype: bf16 (default -- halves build+fetch bytes; adds
+    one rounding the in-kernel chain does not have, ~1e-2 absolute on
+    O(1) bias values, same order as the bf16 q/k rounding already in the
+    logits) or f32 (``MMT_ATTN_HBM_DTYPE=f32``)."""
+    return (
+        jnp.float32
+        if os.environ.get("MMT_ATTN_HBM_DTYPE", "bf16") == "f32"
+        else jnp.bfloat16
+    )
+
+
+def _hbm_slot_index(qi, ki):
+    """Slot for grid step (qi, ki): 0 = key-block 0, 1/2/3 = key blocks
+    qi-1/qi/qi+1.  Far steps clamp to the nearest slot (content unused --
+    the kernel's flag multiply zeroes it) so the mapped index changes only
+    3 times per q-row and Mosaic skips the no-op refetches."""
+    near = 1 + jnp.clip(ki - qi + 1, 0, 2)
+    return jnp.where(ki < qi - 1, 0, near)
+
+
+def _full_bias_vids(i_pos, j_pos, geo: RelGeometry):
+    """Closed-form relative-att id for arbitrary position grids (jnp;
+    broadcasts).  Mirrors ``_tile_bias_multi``'s select-chain semantics
+    exactly: text band vid(o) = o for 0<=o<=dtd else dtd-o, clipped at
+    dtd/2*dtd; image-image pairs use the 2D ids; cross pairs the part
+    ids (i-text x j-image -> image_part_id, per the reference layout).
+    OOV ids (>= vocab) are the caller's to zero."""
+    dtd = geo.text_max_distance
+    off = j_pos - i_pos
+    vid = jnp.where(
+        off >= 0, jnp.minimum(off, dtd), jnp.minimum(dtd - off, 2 * dtd)
+    )
+    img_len = geo.image_len
+    if img_len:
+        t_i = i_pos >= img_len
+        t_j = j_pos >= img_len
+        ids2d = _image_ids_2d(i_pos, j_pos, geo)
+        vid = jnp.where(
+            t_i & t_j, vid,
+            jnp.where(
+                jnp.logical_not(t_i | t_j), ids2d,
+                jnp.where(t_i, geo.image_part_id, geo.text_part_id),
+            ),
+        )
+    return vid
+
+
+def _build_bias_slots(qt, rel_h, geo: RelGeometry, rel_vocab, block_q,
+                      block_k, nq, hb, softmax_scale):
+    """XLA-side bias-slot buffer for ``MMT_ATTN_BIAS=hbm``.
+
+    qt: [B, H, S, D]; rel_h: [H, v_pad, D] (augmented table -- only the
+    first ``rel_vocab`` columns are read).  Returns
+    [B, H//hb, nq, 4, hb, bq, bk] in ``_hbm_store_dtype()``: the FULL
+    relative bias of the 4 structured key-block slots per q-block
+    (slot 0 = key-block 0, slots 1..3 = key blocks qi-1..qi+1).
+
+    The vocab gather is phrased as ONE-HOT MXU CONTRACTIONS, never an
+    element gather (measured: ``take_along_axis`` along the minor dim
+    runs ~0.4 G elements/s on this toolchain -- 230 ms for an S=1024
+    buffer).  One-hot sums are exact (exactly one 1.0 per row; adding
+    zeros is exact), so the f32 path is bit-identical to a gather.
+    Three map families keep the one-hot tensors small and qi-shared:
+
+    * slots 1..3 away from the image block depend on positions only
+      through the offset j - i + (s-2)*bk: one [3, bq, V, bk] map batched
+      over rows, shared by every (batch, head, q-block);
+    * slot 0 (far-left key block 0) is row-independent: a plain [V, bk]
+      matmul;
+    * the <=3 (q-block, slot) combos touching the image block (the 2D
+      corner and the image/text boundary) are overwritten with exact
+      per-position maps via small per-q-block contractions.
+
+    Prescale folds the pow2 softmax scale into q exactly like the
+    kernel does; bf16 mode rounds qr to bf16 before the one-hot sum
+    (one rounding vs the in-kernel f32 chain)."""
+    B, H, S, D = qt.shape
+    hg = H // hb
+    store = _hbm_store_dtype()
+    if _prescale_on(softmax_scale):
+        qt = qt * jnp.asarray(softmax_scale, qt.dtype)
+    qr = jnp.einsum(
+        "bhsd,hvd->bhsv", qt, rel_h[:, :rel_vocab],
+        preferred_element_type=jnp.float32,
+    )  # [B, H, S, V]
+    # Target layout directly (hb inside the block, before bq): only the
+    # small qr tensor is transposed, never the ~100x larger slot buffer.
+    qr = qr.reshape(B, hg, hb, nq, block_q, rel_vocab)
+    qr = qr.transpose(0, 1, 3, 2, 4, 5)  # [B, HG, nq, hb, bq, V]
+    if store == jnp.bfloat16 and jax.default_backend() == "tpu":
+        # bf16 x one-hot on the MXU.  Identical to the f32 contraction +
+        # bf16 store (one-hot sums are exact; bf16(bf16(x)) == bf16(x)),
+        # so CPU -- whose dot thunk lacks bf16 x bf16 -> f32 -- just
+        # keeps f32 operands.
+        qr = qr.astype(jnp.bfloat16)
+
+    dtd = geo.text_max_distance
+    il = geo.image_len
+    varange = jnp.arange(rel_vocab, dtype=jnp.int32)
+    iota_i = jnp.arange(block_q, dtype=jnp.int32)[:, None]
+    iota_j = jnp.arange(block_k, dtype=jnp.int32)[None, :]
+
+    def text_vid(off):
+        return jnp.where(
+            off >= 0, jnp.minimum(off, dtd), jnp.minimum(dtd - off, 2 * dtd)
+        )
+
+    # Generic slots 1..3: pure-text band/clip maps, one per slot offset.
+    deltas = jnp.asarray([-block_k, 0, block_k], jnp.int32)[:, None, None]
+    gen_vid = text_vid(iota_j - iota_i + deltas)  # [3, bq, bk]
+    oh_gen = (gen_vid[:, :, None, :] == varange[:, None]).astype(qr.dtype)
+    out_g = jnp.einsum(
+        "bgnhiv,sivj->bgnshij", qr, oh_gen,
+        preferred_element_type=jnp.float32,
+    ).astype(store)  # [B, HG, nq, 3, hb, bq, bk]
+
+    # Slot 0: key block 0 seen from a far-right q block -- every q row is
+    # text, so the map is row-independent: left clip on text keys, the
+    # image part id (OOV => no match => zero) on image keys.
+    vid0 = jnp.full((block_k,), 2 * dtd, jnp.int32)
+    if il:
+        vid0 = jnp.where(iota_j[0] < il, geo.image_part_id, vid0)
+    oh0 = (varange[:, None] == vid0[None, :]).astype(qr.dtype)  # [V, bk]
+    out_0 = jnp.einsum(
+        "bgnhiv,vj->bgnhij", qr, oh0, preferred_element_type=jnp.float32,
+    ).astype(store)[:, :, :, None]  # [B, HG, nq, 1, hb, bq, bk]
+
+    out = jnp.concatenate([out_0, out_g], axis=3)
+
+    if il:
+        # Exact overwrites for the (q-block, slot) combos whose tile
+        # touches the image block: (0, slot2)=tile(0,0) with the 2D
+        # corner, (0, slot3)=tile(0,1) image rows x text keys, and
+        # (1, slot1)=tile(1,0) text rows x image keys.
+        specials = {(0, 2): 0}
+        if nq > 1:
+            specials[(0, 3)] = 1
+            specials[(1, 1)] = 0
+        for (qi_s, s_s), ki_s in specials.items():
+            i_pos = qi_s * block_q + iota_i
+            j_pos = ki_s * block_k + iota_j
+            vid = _full_bias_vids(i_pos, j_pos, geo)  # [bq, bk]
+            oh = (vid[:, None, :] == varange[:, None]).astype(qr.dtype)
+            tile = jnp.einsum(
+                "bghiv,ivj->bghij", qr[:, :, qi_s], oh,
+                preferred_element_type=jnp.float32,
+            ).astype(store)
+            out = out.at[:, :, qi_s, s_s].set(tile)
+    return out
+
+
+def _img_mode() -> str:
+    """``MMT_ATTN_IMG``: how the image-image 2D-id bias reaches the
+    kernels.  ``fetch`` (default): the [img_len, img_len] corner
+    contribution is precomputed OUTSIDE the kernel (one tiny exact
+    one-hot contraction) and added unconditionally from a two-slot
+    buffer whose slot 0 is zeros -- the index map selects the corner
+    slot only on the (0, 0) tile, so every other step adds exact 0.0
+    and NO ``lax.cond`` exists in the kernel (Mosaic conds copy their
+    hb x [bq, bk] operands/results every grid step: measured 12.49 ->
+    8.33 ms/layer dense fwd at B=8/S=4096, at the 8.09 NOIMG-probe
+    bound).  ``cond`` restores the
+    round-2 in-kernel select-loop under ``lax.cond`` (and with it the
+    ``MMT_ATTN_IMGSUB`` experiments)."""
+    return os.environ.get("MMT_ATTN_IMG", "fetch")
+
+
+def _imgfetch_applicable(geometry, rel_vocab, static_offsets,
+                         nq=2, nk=2) -> bool:
+    """Fetch pays only when most grid steps DON'T contain the corner:
+    at nq == nk == 1 (short-S single-tile grids) the old ``lax.cond``
+    fired on every step anyway -- no copies were wasted -- while the
+    fetch adds a per-layer [2, B, HG, hb, bq, bk] build that scales
+    with batch (measured: S=256/B=512 inference 1290 -> 984 ex/s).
+    Keep the cond there; fetch everywhere else."""
+    return (
+        rel_vocab > 0
+        and geometry is not None
+        and geometry.image_len > 0
+        and static_offsets
+        and nq * nk > 1
+        and _img_mode() == "fetch"
+    )
+
+
+def _build_img_corner(qt, rel_h, geo: RelGeometry, rel_vocab, block_q,
+                      block_k, hb, softmax_scale):
+    """[B*(H//hb) + 1, hb, bq, bk] float32: slot 0 ONE shared zeros
+    tile, slot 1 + b*(H//hb) + hgrp the image-image 2D-relative-id bias
+    contribution of tile (0, 0) for that (batch, head-group), padded
+    with zeros outside the [img_len, img_len] corner.  Sharing the
+    zeros slot across (b, hgrp) halves the per-layer build write
+    (805 -> ~406 MB at the B=32 flagship).
+
+    Exactly ``_apply_image_bias``'s addend: qr[i, ids2d(i, j)] for
+    image x image pairs with in-vocab ids, 0 elsewhere -- computed as a
+    one-hot f32 contraction (exact: one 1.0 per row, adding zeros is
+    exact), so fetch-mode results are bit-identical to the in-kernel
+    select loop.  Prescale folds the pow2 softmax scale into q exactly
+    like the kernel does."""
+    B, H, S, D = qt.shape
+    hg = H // hb
+    il = geo.image_len
+    if _prescale_on(softmax_scale):
+        qt = qt * jnp.asarray(softmax_scale, qt.dtype)
+    nvid = min(geo.num_image_ids, rel_vocab)
+    qr = jnp.einsum(
+        "bhid,hvd->bhiv", qt[:, :, :il], rel_h[:, :nvid],
+        preferred_element_type=jnp.float32,
+    )  # [B, H, il, nvid]
+    iota = jnp.arange(il, dtype=jnp.int32)
+    ids2d = _image_ids_2d(iota[:, None], iota[None, :], geo)  # [il, il]
+    oh = (
+        ids2d[:, None, :] == jnp.arange(nvid, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)  # [il, nvid, il]
+    corner = jnp.einsum(
+        "bhiv,ivj->bhij", qr, oh, preferred_element_type=jnp.float32,
+    )  # [B, H, il, il]
+    corner = jnp.pad(
+        corner, ((0, 0), (0, 0), (0, block_q - il), (0, block_k - il))
+    ).reshape(B * hg, hb, block_q, block_k)
+    zeros = jnp.zeros((1, hb, block_q, block_k), jnp.float32)
+    return jnp.concatenate([zeros, corner])
 
 
 def _tile_dsv_multi(dss, meta_ref, t, q_base, k_base, v_pad, geo, rel_vocab,
@@ -1008,9 +1273,8 @@ def _window_tile_list(geo: RelGeometry, seq_len: int, block_q: int,
 
 def _fwd_list_kernel(
     lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, rel_ref,
-    o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, *,
-    geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale, far,
-    dropout_rate=0.0,
+    *rest, geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale, far,
+    dropout_rate=0.0, imgfetch=False,
 ):
     """List-driven forward over a static tile subset (split schedule).
 
@@ -1022,6 +1286,11 @@ def _fwd_list_kernel(
     chain of ``_fwd_kernel``.  Outputs are float32 partials combined by
     the caller via logsumexp; rows whose tiles were all skipped emit
     lse = -inf / o = 0 so the combine ignores them."""
+    if imgfetch:
+        img_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        img_ref = None
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     b = pl.program_id(0)
     hgrp = pl.program_id(1)
     t = pl.program_id(2)
@@ -1078,8 +1347,15 @@ def _fwd_list_kernel(
             avs = [None] * hb
             biases = _tile_bias_multi(
                 qrs, meta_ref, qi * nk + ki, q_base, k_base, shape, geo,
-                rel_vocab, block_q, block_k,
+                rel_vocab, block_q, block_k, skip_image=imgfetch,
             )
+            if imgfetch:
+                # Slot 0 of the fetch buffer is zeros; the index map
+                # selects the corner slot only on tile (0, 0).
+                biases = [
+                    bias + img_ref[0, hh]
+                    for hh, bias in enumerate(biases)
+                ]
             if prescale:
                 ss = [s + bias for s, bias in zip(ss, biases)]
             else:
@@ -1133,14 +1409,16 @@ def _fwd_list_kernel(
 
 def _run_fwd_list(qt, kt, vt, rel_h, lengths, qoff, meta, tlist, geometry,
                   rel_vocab, block_q, block_k, nk, hb, interpret, *,
-                  far, dropout_rate=0.0):
+                  far, dropout_rate=0.0, img_buf=None):
     """One list-driven forward pass over a static (qi, ki, flag) table.
 
     Shared by the far/structured split schedule and the sliding-window
     list grid.  Outputs float32 o partials + lse; rows with no live
-    tiles emit lse = -inf / o = 0."""
+    tiles emit lse = -inf / o = 0.  ``img_buf`` (far=False only): the
+    two-slot image-corner fetch buffer (``MMT_ATTN_IMG=fetch``)."""
     batch, num_heads, seq_len, head_dim = qt.shape
     scale = 1.0 / (head_dim**0.5)
+    imgfetch = img_buf is not None and not far
 
     def im_q(b, h, t, lens, qoff_, meta_, tm):
         return (b, h, tm[0, t], 0)
@@ -1152,21 +1430,38 @@ def _run_fwd_list(qt, kt, vt, rel_h, lengths, qoff, meta, tlist, geometry,
         _fwd_list_kernel, geo=geometry, rel_vocab=rel_vocab,
         block_q=block_q, block_k=block_k, nk=nk, hb=hb,
         softmax_scale=scale, far=far, dropout_rate=dropout_rate,
+        imgfetch=imgfetch,
     )
+    in_specs = [
+        pl.BlockSpec((1, hb, block_q, head_dim), im_q,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_k, head_dim), im_k,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, block_k, head_dim), im_k,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, rel_h.shape[1], head_dim),
+                     lambda b, h, t, *_: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    extra_args = []
+    if imgfetch:
+        hg_n = num_heads // hb
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hb, block_q, block_k),
+                lambda b, h, t, lens, qoff_, meta_, tm: (
+                    jnp.where((tm[0, t] == 0) & (tm[1, t] == 0),
+                              1 + b * hg_n + h, 0),
+                    0, 0, 0,
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        extra_args.append(img_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(batch, num_heads // hb, tlist.shape[1] - 1),
-        in_specs=[
-            pl.BlockSpec((1, hb, block_q, head_dim), im_q,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hb, block_k, head_dim), im_k,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hb, block_k, head_dim), im_k,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, rel_h.shape[1], head_dim),
-                         lambda b, h, t, *_: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, hb, block_q, head_dim), im_q,
                          memory_space=pltpu.VMEM),
@@ -1193,7 +1488,7 @@ def _run_fwd_list(qt, kt, vt, rel_h, lengths, qoff, meta, tlist, geometry,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths.astype(jnp.int32), qoff, jnp.asarray(meta),
-      jnp.asarray(tlist), qt, kt, vt, rel_h)
+      jnp.asarray(tlist), qt, kt, vt, rel_h, *extra_args)
 
 
 def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
@@ -1269,10 +1564,15 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
             qt, kt, vt, rel_h, lengths, qoff, meta, far_list, geometry,
             rel_vocab, block_q, block_k, nk, hb, interpret,
             far=True, dropout_rate=dropout_rate)
+    img_buf = None
+    if _imgfetch_applicable(geometry, rel_vocab, True, nq, nk):
+        img_buf = _build_img_corner(
+            qt, rel_h, geometry, rel_vocab, block_q, block_k, hb, scale,
+        )
     o_s, lse_s = _run_fwd_list(
         qt, kt, vt, rel_h, lengths, qoff, meta, struct_list, geometry,
         rel_vocab, block_q, block_k, nk, hb, interpret,
-        far=False, dropout_rate=dropout_rate)
+        far=False, dropout_rate=dropout_rate, img_buf=img_buf)
     lse = jnp.logaddexp(lse_f, lse_s)
     # Fully-padded rows have zero live tiles in BOTH passes: clamp the
     # denominator so exp(-inf - -inf) = NaN never forms (weights 0).
@@ -1284,9 +1584,16 @@ def _forward_split(q, k, v, lengths, qoff, rel_h, meta, geometry, rel_vocab,
 def _fwd_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0, far_only=False,
+    dropout_rate=0.0, far_only=False, hbm=False, imgfetch=False,
 ):
-    if rel_vocab:
+    bias_ref = img_ref = None
+    if rel_vocab and hbm:
+        rel_ref, bias_ref, o_ref, lse_ref, m_scratch, l_scratch, \
+            acc_scratch = rest
+    elif rel_vocab and imgfetch:
+        rel_ref, img_ref, o_ref, lse_ref, m_scratch, l_scratch, \
+            acc_scratch = rest
+    elif rel_vocab:
         rel_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = rest
     else:
         rel_ref = None
@@ -1351,12 +1658,53 @@ def _fwd_kernel(
                 ]
                 if not prescale:
                     avs = [av * softmax_scale for av in avs]
+            elif hbm:
+                # Precomputed-slot mode: structured tiles (|ki-qi| <= 1
+                # or ki == 0) add the fetched full-bias tile; every other
+                # tile's bias is row-constant (all its keys are text, so
+                # per row it is the far clip -- or the part value on the
+                # q-block-0 image rows) and rides the flash statistics.
+                # The flag multiply zeroes whichever term does not apply,
+                # keeping one unconditional code path (Mosaic conds copy
+                # their operands every step).
+                flagf = (
+                    (jnp.abs(ki - qi) <= 1) | (ki == 0)
+                ).astype(jnp.float32)
+                keepf = 1.0 - flagf
+                img_len = geo.image_len
+                text_row = None
+                if img_len:
+                    i_pos = q_base + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, 1), 0
+                    )[:, 0]
+                    text_row = i_pos >= img_len
+                for hh, qr in enumerate(qrs):
+                    fetched = bias_ref[0, 0, 0, 0, hh]
+                    ss[hh] = ss[hh] + fetched.astype(jnp.float32) * flagf
+                    av = jnp.where(ki > qi, qr[:, dtd], qr[:, 2 * dtd])
+                    if text_row is not None:
+                        pv = (
+                            qr[:, geo.text_part_id]
+                            if geo.text_part_id < rel_vocab
+                            else jnp.zeros_like(av)
+                        )
+                        av = jnp.where(text_row, av, pv)
+                    if not prescale:
+                        av = av * softmax_scale
+                    avs[hh] = av * keepf
             else:
                 biases = _tile_bias_multi(
                     qrs, meta_ref, t, q_base, k_base, shape, geo, rel_vocab,
-                    block_q, block_k,
+                    block_q, block_k, skip_image=imgfetch,
                 )
                 ss = [s + bias for s, bias in zip(ss, biases)]
+                if imgfetch:
+                    # Slot 0 of the fetch buffer is zeros; the index map
+                    # selects the corner slot only on tile (0, 0), so
+                    # this add is exact everywhere and cond-free.
+                    ss = [
+                        s + img_ref[0, hh] for hh, s in enumerate(ss)
+                    ]
 
         if not prescale:
             ss = [s * softmax_scale for s in ss]
@@ -1496,6 +1844,14 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
     # the window skip removes outright.
     if geometry is not None and geometry.window > 0:
         split_env = "0"
+    hbm = _hbm_bias_on(
+        geometry, rel_vocab, block_q, block_k, static_offsets,
+        seq_len == k.shape[1],
+    )
+    if hbm:
+        # The slot fetch already gives far tiles the zero-per-element
+        # stats path the split schedule's far pass provides, in ONE grid.
+        split_env = "0"
     if rel_vocab and static_offsets and seq_len == k.shape[1] and split_env != "0":
         meta_np = _build_tile_meta(geometry, seq_len, block_q, block_k)
         n_tiles = meta_np.shape[1]
@@ -1538,12 +1894,19 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
                 dropout_seed if dropout_seed is not None else 0, jnp.int32),
             jnp.asarray(batch_start, jnp.int32),
         ])
+        qt_w = q.transpose(0, 2, 1, 3)
+        img_buf = None
+        if _imgfetch_applicable(geometry, rel_vocab, True, nq, nk):
+            img_buf = _build_img_corner(
+                qt_w, rel_h, geometry, rel_vocab, block_q, block_k, hb,
+                1.0 / (q.shape[-1]**0.5),
+            )
         o, lse = _run_fwd_list(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            qt_w, k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), rel_h, lengths, qoff,
             _build_tile_meta(geometry, seq_len, block_q, block_k), wlist,
             geometry, rel_vocab, block_q, block_k, nk, hb, interpret,
-            far=False, dropout_rate=dropout_rate)
+            far=False, dropout_rate=dropout_rate, img_buf=img_buf)
         return o.astype(q.dtype).transpose(0, 2, 1, 3), lse
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -1561,11 +1924,45 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
                          memory_space=pltpu.VMEM)
         )
         args.append(rel_h)
+    if hbm:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, 1, hb, block_q, block_k),
+                lambda b, h, qi, ki, *_: (
+                    b, h, qi, _hbm_slot_index(qi, ki), 0, 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(_build_bias_slots(
+            qt, rel_h, geometry, rel_vocab, block_q, block_k, nq, hb,
+            1.0 / (head_dim**0.5),
+        ))
+    imgfetch = (not hbm) and _imgfetch_applicable(
+        geometry, rel_vocab, static_offsets, nq, nk
+    )
+    if imgfetch:
+        hg_n = num_heads // hb
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hb, block_q, block_k),
+                lambda b, h, qi, ki, *_: (
+                    jnp.where((qi == 0) & (ki == 0), 1 + b * hg_n + h, 0),
+                    0, 0, 0,
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(_build_img_corner(
+            qt, rel_h, geometry, rel_vocab, block_q, block_k, hb,
+            1.0 / (head_dim**0.5),
+        ))
 
     kernel = functools.partial(
         _fwd_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
         block_q=block_q, block_k=block_k, nk=nk, hb=hb,
         softmax_scale=1.0 / (head_dim**0.5), dropout_rate=dropout_rate,
+        hbm=hbm, imgfetch=imgfetch,
     )
     qoff = jnp.stack([
         jnp.asarray(q_start, jnp.int32),
@@ -1607,7 +2004,7 @@ def _attention_forward(q, k, v, rel_table, geometry, lengths,
 def _bwd_tile_core(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
                    meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref, *,
                    geo, rel_vocab, block_q, block_k, hb, softmax_scale,
-                   dropout_rate):
+                   dropout_rate, img_ref=None):
     """Shared per-tile backward body (one copy for every kernel shell:
     rect/list x dq/dkv/fused -- ADVICE r3 #1).  Rebuilds the masked
     logits, p = exp(s - lse) and ds = p * (dp - delta) for each packed
@@ -1642,8 +2039,16 @@ def _bwd_tile_core(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, rel_ref,
         ]
         biases = _tile_bias_multi(
             qrs, meta_ref, t, q_base, k_base, ss[0].shape, geo,
-            rel_vocab, block_q, block_k,
+            rel_vocab, block_q, block_k, skip_image=img_ref is not None,
         )
+        if img_ref is not None:
+            # Corner-fetch recompute (MMT_ATTN_IMG=fetch): slot 0 of the
+            # buffer is zeros; the index map selects the corner slot only
+            # on tile (0, 0), so the add is exact and cond-free.
+            biases = [
+                bias + img_ref[0, hh]
+                for hh, bias in enumerate(biases)
+            ]
         ss = [s + bias for s, bias in zip(ss, biases)]
     if not prescale:
         ss = [s * softmax_scale for s in ss]
@@ -1687,9 +2092,12 @@ def _bwd_dq_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
     geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0,
+    dropout_rate=0.0, imgfetch=False,
 ):
-    if rel_vocab:
+    img_ref = None
+    if rel_vocab and imgfetch:
+        rel_ref, img_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc = rest
+    elif rel_vocab:
         rel_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc = rest
     else:
         rel_ref = None
@@ -1725,6 +2133,7 @@ def _bwd_dq_kernel(
             meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref,
             geo=geo, rel_vocab=rel_vocab, block_q=block_q, block_k=block_k,
             hb=hb, softmax_scale=softmax_scale, dropout_rate=dropout_rate,
+            img_ref=img_ref,
         )
         for hh, ds in enumerate(dss):
             dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
@@ -1765,9 +2174,12 @@ def _bwd_dkv_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0,
+    dropout_rate=0.0, imgfetch=False,
 ):
-    if rel_vocab:
+    img_ref = None
+    if rel_vocab and imgfetch:
+        rel_ref, img_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    elif rel_vocab:
         rel_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
     else:
         rel_ref = None
@@ -1800,6 +2212,7 @@ def _bwd_dkv_kernel(
             meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref,
             geo=geo, rel_vocab=rel_vocab, block_q=block_q, block_k=block_k,
             hb=hb, softmax_scale=softmax_scale, dropout_rate=dropout_rate,
+            img_ref=img_ref,
         )
         for hh, ds in enumerate(dss):
             dv_acc[hh] = dv_acc[hh] + jax.lax.dot_general(
@@ -1828,7 +2241,7 @@ def _bwd_fused_kernel(
     lengths_ref, qoff_ref, meta_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, *rest,
     geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0,
+    dropout_rate=0.0, imgfetch=False,
 ):
     """One-pass backward: dq + dRel + dk + dv from a single tile sweep.
 
@@ -1846,7 +2259,11 @@ def _bwd_fused_kernel(
     bias select chain (the expensive VPU work), its exp/dp/ds, and its
     grid's fetch slots.
     """
-    if rel_vocab:
+    img_ref = None
+    if rel_vocab and imgfetch:
+        (rel_ref, img_ref, dq_ref, dr_ref, dk_ref, dv_ref,
+         dq_acc, dsv_acc, dr_acc, dk_acc, dv_acc) = rest
+    elif rel_vocab:
         (rel_ref, dq_ref, dr_ref, dk_ref, dv_ref,
          dq_acc, dsv_acc, dr_acc, dk_acc, dv_acc) = rest
     else:
@@ -1888,6 +2305,7 @@ def _bwd_fused_kernel(
             meta_ref, t, q_base, k_base, length, b, hgrp, qoff_ref,
             geo=geo, rel_vocab=rel_vocab, block_q=block_q, block_k=block_k,
             hb=hb, softmax_scale=softmax_scale, dropout_rate=dropout_rate,
+            img_ref=img_ref,
         )
         for hh, ds in enumerate(dss):
             dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
@@ -1945,13 +2363,18 @@ def _bwd_fused_kernel(
 
 def _bwd_dq_list_kernel(
     lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, do_ref,
-    lse_ref, delta_ref, rel_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc, *,
+    lse_ref, delta_ref, rel_ref, *rest,
     geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0,
+    dropout_rate=0.0, imgfetch=False,
 ):
     """List-driven dq (+ dRel) over a static qi-sorted tile subset
     (sliding-window grid).  Same body as ``_bwd_dq_kernel``; scratch
     init/finalize trigger on qi changes, dRel writes on the last step."""
+    if imgfetch:
+        img_ref, dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc = rest
+    else:
+        img_ref = None
+        dq_ref, dr_ref, dq_acc, dsv_acc, dr_acc = rest
     b = pl.program_id(0)
     hgrp = pl.program_id(1)
     t = pl.program_id(2)
@@ -1983,7 +2406,7 @@ def _bwd_dq_list_kernel(
             meta_ref, qi * nk + ki, q_base, k_base, length, b, hgrp,
             qoff_ref, geo=geo, rel_vocab=rel_vocab, block_q=block_q,
             block_k=block_k, hb=hb, softmax_scale=softmax_scale,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, img_ref=img_ref,
         )
         for hh, ds in enumerate(dss):
             dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
@@ -2021,13 +2444,18 @@ def _bwd_dq_list_kernel(
 
 def _bwd_dkv_list_kernel(
     lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, do_ref,
-    lse_ref, delta_ref, rel_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+    lse_ref, delta_ref, rel_ref, *rest,
     geo, rel_vocab, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0,
+    dropout_rate=0.0, imgfetch=False,
 ):
     """List-driven dk/dv over a static ki-sorted tile subset
     (sliding-window grid).  Same body as ``_bwd_dkv_kernel``; scratch
     init/finalize trigger on ki changes."""
+    if imgfetch:
+        img_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        img_ref = None
+        dk_ref, dv_ref, dk_acc, dv_acc = rest
     b = pl.program_id(0)
     hgrp = pl.program_id(1)
     t = pl.program_id(2)
@@ -2055,7 +2483,7 @@ def _bwd_dkv_list_kernel(
             meta_ref, qi * nk + ki, q_base, k_base, length, b, hgrp,
             qoff_ref, geo=geo, rel_vocab=rel_vocab, block_q=block_q,
             block_k=block_k, hb=hb, softmax_scale=softmax_scale,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, img_ref=img_ref,
         )
         for hh, ds in enumerate(dss):
             dv_acc[hh] = dv_acc[hh] + jax.lax.dot_general(
@@ -2083,10 +2511,9 @@ def _bwd_dkv_list_kernel(
 
 def _bwd_fused_list_kernel(
     lengths_ref, qoff_ref, meta_ref, tmeta_ref, q_ref, k_ref, v_ref, do_ref,
-    lse_ref, delta_ref, rel_ref, dq_ref, dr_ref, dk_ref, dv_ref,
-    dq_acc, dsv_acc, dr_acc, dk_acc, dv_acc, *,
+    lse_ref, delta_ref, rel_ref, *rest,
     geo, rel_vocab, v_pad, block_q, block_k, nk, hb, softmax_scale,
-    dropout_rate=0.0,
+    dropout_rate=0.0, imgfetch=False,
 ):
     """One-pass list backward: dq + dRel + dk + dv from a single walk of
     the qi-sorted windowed tile list (see ``_bwd_fused_kernel`` for why
@@ -2094,6 +2521,13 @@ def _bwd_fused_list_kernel(
     VMEM scratch indexed by the tile's ki; the qi-major list visits each
     ki's live tiles in ascending qi order, so the sums are bit-identical
     to the two-pass list schedule."""
+    if imgfetch:
+        (img_ref, dq_ref, dr_ref, dk_ref, dv_ref,
+         dq_acc, dsv_acc, dr_acc, dk_acc, dv_acc) = rest
+    else:
+        img_ref = None
+        (dq_ref, dr_ref, dk_ref, dv_ref,
+         dq_acc, dsv_acc, dr_acc, dk_acc, dv_acc) = rest
     b = pl.program_id(0)
     hgrp = pl.program_id(1)
     t = pl.program_id(2)
@@ -2127,7 +2561,7 @@ def _bwd_fused_list_kernel(
             meta_ref, qi * nk + ki, q_base, k_base, length, b, hgrp,
             qoff_ref, geo=geo, rel_vocab=rel_vocab, block_q=block_q,
             block_k=block_k, hb=hb, softmax_scale=softmax_scale,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, img_ref=img_ref,
         )
         for hh, ds in enumerate(dss):
             dq_acc[hh] = dq_acc[hh] + jax.lax.dot_general(
@@ -2184,13 +2618,26 @@ def _bwd_fused_list_kernel(
 def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
                           meta, geometry, rel_vocab, v_pad, block_q, block_k,
                           nk, hb, interpret, dropout_rate, q_dtype, k_dtype,
-                          v_dtype, seq_len):
+                          v_dtype, seq_len, img_buf=None):
     """Both backward passes on the static windowed live-tile lists."""
     batch, num_heads = qt.shape[0], qt.shape[1]
     head_dim = qt.shape[3]
     scale = 1.0 / (head_dim**0.5)
     qlist = _window_tile_list(geometry, seq_len, block_q, block_k, "q")
     klist = _window_tile_list(geometry, seq_len, block_q, block_k, "k")
+    imgfetch = img_buf is not None
+    hg_n = num_heads // hb
+    img_spec = pl.BlockSpec(
+        (1, hb, block_q, block_k),
+        lambda b, h, t, lens, qoff_, meta_, tm: (
+            jnp.where((tm[0, t] == 0) & (tm[1, t] == 0),
+                      1 + b * hg_n + h, 0),
+            0, 0, 0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    img_extra = [img_buf] if imgfetch else []
+    img_specs = [img_spec] if imgfetch else []
 
     def im_tq(b, h, t, lens, qoff_, meta_, tm):
         return (b, h, tm[0, t], 0)
@@ -2222,6 +2669,7 @@ def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
             _bwd_fused_list_kernel, geo=geometry, rel_vocab=rel_vocab,
             v_pad=v_pad, block_q=block_q, block_k=block_k, nk=nk, hb=hb,
             softmax_scale=scale, dropout_rate=dropout_rate,
+            imgfetch=imgfetch,
         )
         dq_t, dr_bh, dk_t, dv_t = pl.pallas_call(
             kernel,
@@ -2229,7 +2677,7 @@ def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
                 num_scalar_prefetch=4,
                 grid=(batch, num_heads // hb, qlist.shape[1] - 1),
                 in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q,
-                          rel_spec],
+                          rel_spec] + img_specs,
                 out_specs=(
                     spec_q,
                     pl.BlockSpec((1, hb, v_pad, head_dim),
@@ -2257,20 +2705,21 @@ def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(lengths_i, qoff, jnp.asarray(meta), jnp.asarray(qlist),
-          qt, kt, vt, dot, lse, delta, rel_h)
+          qt, kt, vt, dot, lse, delta, rel_h, *img_extra)
         return dq_t, dr_bh, dk_t, dv_t
 
     kernel = functools.partial(
         _bwd_dq_list_kernel, geo=geometry, rel_vocab=rel_vocab, v_pad=v_pad,
         block_q=block_q, block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, imgfetch=imgfetch,
     )
     dq_t, dr_bh = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(batch, num_heads // hb, qlist.shape[1] - 1),
-            in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q, rel_spec],
+            in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q,
+                      rel_spec] + img_specs,
             out_specs=(
                 spec_q,
                 pl.BlockSpec((1, hb, v_pad, head_dim),
@@ -2292,19 +2741,20 @@ def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths_i, qoff, jnp.asarray(meta), jnp.asarray(qlist),
-      qt, kt, vt, dot, lse, delta, rel_h)
+      qt, kt, vt, dot, lse, delta, rel_h, *img_extra)
 
     kernel2 = functools.partial(
         _bwd_dkv_list_kernel, geo=geometry, rel_vocab=rel_vocab,
         block_q=block_q, block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, imgfetch=imgfetch,
     )
     dk_t, dv_t = pl.pallas_call(
         kernel2,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(batch, num_heads // hb, klist.shape[1] - 1),
-            in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q, rel_spec],
+            in_specs=[spec_q, spec_k, spec_k, spec_q, vec_q, vec_q,
+                      rel_spec] + img_specs,
             out_specs=(spec_k, spec_k),
             scratch_shapes=[
                 pltpu.VMEM((hb, block_k, head_dim), jnp.float32),
@@ -2319,7 +2769,7 @@ def _backward_window_list(qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths_i, qoff, jnp.asarray(meta), jnp.asarray(klist),
-      qt, kt, vt, dot, lse, delta, rel_h)
+      qt, kt, vt, dot, lse, delta, rel_h, *img_extra)
     return dq_t, dr_bh, dk_t, dv_t
 
 
@@ -2391,6 +2841,25 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
     hb = _backward_head_packing(num_heads, k.shape[1], head_dim,
                                 k.dtype.itemsize)
 
+    # Corner-fetch recompute buffer (MMT_ATTN_IMG=fetch): the image-id
+    # bias is re-added from a precomputed tile instead of the in-kernel
+    # select loop under lax.cond -- same trick as the forward.
+    imgfetch = (
+        rel_vocab > 0 and static_zero and seq_len == k.shape[1]
+        and _imgfetch_applicable(geometry, rel_vocab, True, nq, nk)
+    )
+    img_buf = None
+    if imgfetch:
+        img_buf = _build_img_corner(
+            qt, rel_h, geometry, rel_vocab, block_q, block_k, hb, scale,
+        )
+    hg_n = num_heads // hb
+    img_im_rect = lambda b, h, i1, i2, *_: (  # noqa: E731
+        jnp.where((i1 == 0) & (i2 == 0), 1 + b * hg_n + h, 0), 0, 0, 0)
+    img_spec_rect = pl.BlockSpec(
+        (1, hb, block_q, block_k), img_im_rect,
+        memory_space=pltpu.VMEM)
+
     # Sliding-window pattern: run both backward passes on the static
     # live-tile lists (see _window_tile_list) instead of the rectangular
     # grid with pl.when skips.
@@ -2400,7 +2869,8 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
         dq_t, dr_bh, dk_t, dv_t = _backward_window_list(
             qt, kt, vt, dot, lse, delta, rel_h, lengths_i, qoff, meta,
             geometry, rel_vocab, v_pad, block_q, block_k, nk, hb, interpret,
-            dropout_rate, q.dtype, k.dtype, v.dtype, seq_len)
+            dropout_rate, q.dtype, k.dtype, v.dtype, seq_len,
+            img_buf=img_buf)
         drel = jnp.sum(dr_bh, axis=0)[:, :rel_vocab]
         drel = drel.transpose(1, 0, 2).astype(rel_table.dtype)
         dlengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
@@ -2435,6 +2905,9 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
         if rel_vocab:
             in_specs.append(rel_spec)
             args.append(rel_h)
+            if imgfetch:
+                in_specs.append(img_spec_rect)
+                args.append(img_buf)
             out_shape = (
                 jax.ShapeDtypeStruct(qt.shape, q.dtype),
                 jax.ShapeDtypeStruct((batch, num_heads, v_pad, head_dim),
@@ -2469,7 +2942,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
             _bwd_fused_kernel, geo=geometry if rel_vocab else None,
             rel_vocab=rel_vocab, v_pad=v_pad, block_q=block_q,
             block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, imgfetch=imgfetch,
         )
         res = pl.pallas_call(
             kernel,
@@ -2503,6 +2976,9 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
     if rel_vocab:
         in_specs.append(rel_spec)
         args.append(rel_h)
+        if imgfetch:
+            in_specs.append(img_spec_rect)
+            args.append(img_buf)
         out_shape = (
             jax.ShapeDtypeStruct(qt.shape, q.dtype),
             jax.ShapeDtypeStruct((batch, num_heads, v_pad, head_dim), jnp.float32),
@@ -2526,7 +3002,7 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
     kernel = functools.partial(
         _bwd_dq_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
         v_pad=v_pad, block_q=block_q, block_k=block_k, nk=nk, hb=hb,
-        softmax_scale=scale, dropout_rate=dropout_rate,
+        softmax_scale=scale, dropout_rate=dropout_rate, imgfetch=imgfetch,
     )
     res = pl.pallas_call(
         kernel,
@@ -2573,12 +3049,15 @@ def _attention_backward(residuals, g, geometry, block_q, block_k, interpret,
                          memory_space=pltpu.VMEM)
         )
         args2.append(rel_h)
+        if imgfetch:
+            in_specs2.append(img_spec_rect)
+            args2.append(img_buf)
 
     # NOTE: in this kernel the grid is (b, h, ki, qi): tile index t = qi*nk+ki.
     kernel2 = functools.partial(
         _bwd_dkv_kernel, geo=geometry if rel_vocab else None, rel_vocab=rel_vocab,
         block_q=block_q, block_k=block_k, nk=nk, hb=hb, softmax_scale=scale,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, imgfetch=imgfetch,
     )
     dk_t, dv_t = pl.pallas_call(
         kernel2,

@@ -126,8 +126,10 @@ def test_bf16_close():
     {"MMT_ATTN_SLIM_STATS": "0"},
     {"MMT_ATTN_PRESCALE": "0"},
     {"MMT_ATTN_BIAS": "mul2"},
-    {"MMT_ATTN_IMGSUB": "mul"},
-    {"MMT_ATTN_IMGSUB": "cond"},
+    {"MMT_ATTN_IMG": "cond"},
+    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "mul"},
+    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "cond"},
+    {"MMT_ATTN_BIAS": "hbm", "MMT_ATTN_HBM_DTYPE": "f32"},
     {"MMT_ATTN_BAND": "wide", "MMT_ATTN_LENMASK": "cond",
      "MMT_ATTN_SLIM_STATS": "0"},
 ])
@@ -155,8 +157,9 @@ def test_kernel_variant_flags_parity(monkeypatch, flags):
     {"MMT_ATTN_BAND": "wide", "MMT_ATTN_LENMASK": "cond"},
     {"MMT_ATTN_PRESCALE": "0"},
     {"MMT_ATTN_DSV_SCHED": "uncond"},
-    {"MMT_ATTN_IMGSUB": "mul"},
-    {"MMT_ATTN_IMGSUB": "cond"},
+    {"MMT_ATTN_IMG": "cond"},
+    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "mul"},
+    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "cond"},
 ])
 def test_kernel_variant_flags_gradients(monkeypatch, flags):
     """Backward parity under the variant flags that reach the backward
@@ -199,7 +202,9 @@ def test_kernel_variant_flags_gradients(monkeypatch, flags):
 def test_image_subtile_forward(monkeypatch, mode):
     """Image-id work on a [128, 128] subtile of [256, 256] tiles
     (sub < tile: the operand-shrunk path, not the degenerate sub == tile
-    case the other tests hit)."""
+    case the other tests hit).  Subtile modes only exist under the
+    in-kernel image path (MMT_ATTN_IMG=cond)."""
+    monkeypatch.setenv("MMT_ATTN_IMG", "cond")
     monkeypatch.setenv("MMT_ATTN_IMGSUB", mode)
     geo = RelGeometry(text_max_distance=12, num_patch_per_row=8,
                       num_core_layers=1)
@@ -209,6 +214,7 @@ def test_image_subtile_forward(monkeypatch, mode):
 @pytest.mark.parametrize("mode", ["mul", "cond"])
 def test_image_subtile_gradients(monkeypatch, mode):
     """Backward parity through the subtile image-dsv path (sub < tile)."""
+    monkeypatch.setenv("MMT_ATTN_IMG", "cond")
     monkeypatch.setenv("MMT_ATTN_IMGSUB", mode)
     geo = RelGeometry(text_max_distance=5, num_patch_per_row=8,
                       num_core_layers=1)
