@@ -32,6 +32,12 @@ CPU_BATCH = 8  # batch-matched proxy (B>=8 so vs_baseline isn't inflated
 V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s per chip
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cpu_baseline.json")
+# Independent pure-TF reference-shaped CPU baseline (scripts/
+# tf_cpu_baseline.py, ~40 min one-time); removes the self-referential
+# denominator from the headline claim.  Measured & committed; bench
+# reports vs_baseline_tf when the cache exists rather than re-paying it.
+TF_CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_tf_baseline.json")
 
 
 def model_flops_per_example(lengths, hidden=768, layers=12, intermediate=3072,
@@ -213,14 +219,20 @@ def main():
     flops_ex = model_flops_per_example(lengths)
     tflops = eps * flops_ex / 1e12
     baseline = cpu_baseline()
-    print(json.dumps({
+    row = {
         "metric": "fashion_gen_4k_retrieval_inference",
         "value": round(eps, 3),
         "unit": "examples/sec",
         "vs_baseline": round(eps / baseline, 2),
         "achieved_tflops": round(tflops, 2),
         "mfu_pct_v5e_bf16": round(100.0 * tflops * 1e12 / V5E_BF16_PEAK, 2),
-    }))
+    }
+    if os.path.exists(TF_CACHE_FILE):
+        with open(TF_CACHE_FILE) as f:
+            tf_eps = json.load(f).get("examples_per_sec")
+        if tf_eps:
+            row["vs_baseline_tf"] = round(eps / tf_eps, 2)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
