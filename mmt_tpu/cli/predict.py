@@ -35,6 +35,12 @@ def parse_args(argv=None):
         help="write the scoring computation as a portable jax.export "
              "artifact (StableHLO, symbolic batch dim) to this path and "
              "exit without scoring; see mmt_tpu/eval/export.py")
+    p.add_argument(
+        "--export_bucket_sizes", default="",
+        help="comma-separated batch-size buckets (e.g. '1,8,32'): write "
+             "a bucketed-artifact BUNDLE instead of one artifact -- the "
+             "static-batch serving story for Mosaic-kernel configs; "
+             "load with mmt_tpu.eval.export.load_scoring_bundle")
     return p.parse_args(argv)
 
 
@@ -120,13 +126,24 @@ def main(argv=None):
     logging.info("restored checkpoint from %s", args.init_checkpoint)
 
     if args.export_serving_artifact:
-        from mmt_tpu.eval.export import export_scoring
-
         # Mosaic kernels do not lower with symbolic shapes: pallas
-        # configs get a static-batch artifact (one per serving batch).
+        # configs get static-batch artifacts.  --export_bucket_sizes
+        # writes a BUNDLE (one artifact per batch-size bucket + a
+        # pad-and-dispatch loader, mmt_tpu.eval.export.
+        # load_scoring_bundle); otherwise one artifact, symbolic-batch
+        # when the xla path allows it.
         impl = cfg.task.model.encoder.get().attention_impl
-        blob = export_scoring(task, params, first,
-                              symbolic_batch=(impl != "pallas"))
+        if args.export_bucket_sizes:
+            from mmt_tpu.eval.export import export_scoring_bundle
+
+            sizes = [int(x) for x in args.export_bucket_sizes.split(",")]
+            blob = export_scoring_bundle(task, params, first,
+                                         batch_sizes=sizes)
+        else:
+            from mmt_tpu.eval.export import export_scoring
+
+            blob = export_scoring(task, params, first,
+                                  symbolic_batch=(impl != "pallas"))
         with open(args.export_serving_artifact, "wb") as f:
             f.write(blob)
         logging.info("wrote serving artifact (%d bytes) to %s",

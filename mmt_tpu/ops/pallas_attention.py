@@ -790,7 +790,11 @@ def _img_mode() -> str:
     8.33 ms/layer dense fwd at B=8/S=4096, at the 8.09 NOIMG-probe
     bound).  ``cond`` restores the
     round-2 in-kernel select-loop under ``lax.cond`` (and with it the
-    ``MMT_ATTN_IMGSUB`` experiments)."""
+    ``MMT_ATTN_IMGSUB`` experiments).  ``fetch1`` forces the fetch even
+    on single-tile grids (nq == nk == 1, where no zeros slot is needed)
+    -- measured SLOWER there (23.26 vs 16.08 ms/layer at S=256/B=512:
+    the 1.6 GB/layer corner build+fetch round trip exceeds the
+    in-kernel loop it replaces at large batch), kept for probes."""
     return os.environ.get("MMT_ATTN_IMG", "fetch")
 
 
@@ -802,13 +806,14 @@ def _imgfetch_applicable(geometry, rel_vocab, static_offsets,
     fetch adds a per-layer [2, B, HG, hb, bq, bk] build that scales
     with batch (measured: S=256/B=512 inference 1290 -> 984 ex/s).
     Keep the cond there; fetch everywhere else."""
+    mode = _img_mode()
     return (
         rel_vocab > 0
         and geometry is not None
         and geometry.image_len > 0
         and static_offsets
-        and nq * nk > 1
-        and _img_mode() == "fetch"
+        and (nq * nk > 1 or mode == "fetch1")
+        and mode in ("fetch", "fetch1")
     )
 
 

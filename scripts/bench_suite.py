@@ -29,11 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _measure_inference(seq_len: int, batch: int, iters: int = 8,
                        min_len: int = 0, max_len: int = 0,
                        quantize: str = "none"):
+    """Device-resident slope rate (the headline -- the per-dispatch
+    relay round trip undercounts short-S rows by 12-16%, see
+    bench.measure_slope)."""
     import bench
 
     fwd, args = bench.build("pallas", "bfloat16", batch, seq_len=seq_len,
                             min_len=min_len, max_len=max_len, quantize=quantize)
-    eps = bench.measure(fwd, args, batch, iters=iters)
+    eps = bench.measure_slope(fwd, args, batch, iters=max(iters // 2, 3))
     flops_ex = bench.model_flops_per_example(args[-1])
     tflops = eps * flops_ex / 1e12
     return eps, round(tflops, 2), round(
@@ -693,7 +696,7 @@ def main():
     if want("fashion_gen_4k_retrieval_inference_window512"):
         fwd_w, args_w = bench.build("pallas", "bfloat16", 32, seq_len=4096,
                                     window=512)
-        eps_w = bench.measure(fwd_w, args_w, 32, iters=8)
+        eps_w = bench.measure_slope(fwd_w, args_w, 32, iters=4)
         flops_w = bench.model_flops_per_example(args_w[-1], window=512,
                                                 num_global=198)
         tfl_w = eps_w * flops_w / 1e12
@@ -730,7 +733,7 @@ def main():
             continue
         fwd_q, args_q = bench.build("pallas", "bfloat16", 32, seq_len=4096,
                                     quantize="int8_dynamic", window=w)
-        eps = bench.measure(fwd_q, args_q, 32, iters=8)
+        eps = bench.measure_slope(fwd_q, args_q, 32, iters=4)
         flops = bench.model_flops_per_example(
             args_q[-1], window=w, num_global=198 if w else 0)
         tfl = eps * flops / 1e12

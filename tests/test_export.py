@@ -167,3 +167,40 @@ def test_predict_cli_export_flag(tmp_path):
     step = task.make_inference_step()
     np.testing.assert_allclose(scores, np.asarray(step(params, first)),
                                rtol=1e-6, atol=1e-7)
+
+
+class TestScoringBundle:
+    """Bucketed static-batch bundle (the Mosaic-kernel serving story)."""
+
+    def test_bundle_pads_splits_and_matches_direct(self, exported):
+        from mmt_tpu.eval.export import (
+            export_scoring_bundle,
+            load_scoring_bundle,
+        )
+
+        task, params, _ = exported
+        batch = classification_batch(B=4)
+        blob = export_scoring_bundle(task, params, batch, batch_sizes=(1, 4))
+        scorer = load_scoring_bundle(blob)
+        assert scorer.batch_sizes == [1, 4]
+        step = task.make_inference_step()
+        # 1 = exact small bucket; 3 = padded to 4; 4 = exact; 6 = split
+        # into a 4-chunk + a padded 4-chunk.
+        for B in (1, 3, 4, 6):
+            batch_b = classification_batch(B=B)
+            got = scorer.call(params, scoring_inputs(batch_b))
+            want = np.asarray(step(params, batch_b))
+            assert got.shape == (B,)
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_bundle_rejects_foreign_zip(self):
+        import io
+        import zipfile
+
+        from mmt_tpu.eval.export import load_scoring_bundle
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("manifest.json", json.dumps({"format": "nope"}))
+        with pytest.raises(ValueError):
+            load_scoring_bundle(buf.getvalue())
