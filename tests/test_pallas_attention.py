@@ -127,8 +127,8 @@ def test_bf16_close():
     {"MMT_ATTN_PRESCALE": "0"},
     {"MMT_ATTN_BIAS": "mul2"},
     {"MMT_ATTN_IMG": "cond"},
-    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "mul"},
-    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "cond"},
+    # IMGSUB x cond combinations are covered by the dedicated
+    # test_image_subtile_* tests (which pin MMT_ATTN_IMG=cond).
     {"MMT_ATTN_BIAS": "hbm", "MMT_ATTN_HBM_DTYPE": "f32"},
     {"MMT_ATTN_BAND": "wide", "MMT_ATTN_LENMASK": "cond",
      "MMT_ATTN_SLIM_STATS": "0"},
@@ -158,8 +158,6 @@ def test_kernel_variant_flags_parity(monkeypatch, flags):
     {"MMT_ATTN_PRESCALE": "0"},
     {"MMT_ATTN_DSV_SCHED": "uncond"},
     {"MMT_ATTN_IMG": "cond"},
-    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "mul"},
-    {"MMT_ATTN_IMG": "cond", "MMT_ATTN_IMGSUB": "cond"},
 ])
 def test_kernel_variant_flags_gradients(monkeypatch, flags):
     """Backward parity under the variant flags that reach the backward
