@@ -127,6 +127,7 @@ def test_bf16_close():
     {"MMT_ATTN_PRESCALE": "0"},
     {"MMT_ATTN_BIAS": "mul2"},
     {"MMT_ATTN_IMG": "cond"},
+    {"MMT_ATTN_IMG": "fetch1"},  # forced fetch incl. single-tile grids
     # IMGSUB x cond combinations are covered by the dedicated
     # test_image_subtile_* tests (which pin MMT_ATTN_IMG=cond).
     {"MMT_ATTN_BIAS": "hbm", "MMT_ATTN_HBM_DTYPE": "f32"},
@@ -418,3 +419,13 @@ def test_split_schedule_gradients(monkeypatch):
     for a, b in zip(g_split, g_full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_imgfetch_forced_single_tile(monkeypatch):
+    """MMT_ATTN_IMG=fetch1 forces the corner fetch on a single-tile grid
+    (nq = nk = 1, where no zeros slot exists and the add is truly
+    unconditional) -- probe-only mode, must stay exact."""
+    monkeypatch.setenv("MMT_ATTN_IMG", "fetch1")
+    geo = RelGeometry(text_max_distance=12, num_patch_per_row=14,
+                      num_core_layers=1)
+    _check(geo, B=2, S=256, H=2, D=32, V=49, lengths=[256, 211], block=256)
